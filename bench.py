@@ -1,0 +1,83 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Benchmarks the flagship SAFER2 model on the bundled ML-1M split with the
+README's tuned ML-1M hyperparameters (reference README.md "Run Models":
+dim=32, uobs=0.004, l2=0.004, alpha=0.3, bandwidth=0.15), measuring
+steady-state epoch time on the available accelerator and reporting
+users/s/chip (the BASELINE.json north-star metric).
+
+``vs_baseline`` compares against the measured C++ reference epoch time
+recorded in BASELINE.md (line `measured_cpp_ml1m_safer2_epoch_ms: N`)
+when present, else 0.0 (baseline not yet measured — the reference needs
+bazel+network to build).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+ML1M_DIR = os.environ.get("FRECSYS_ML1M_DIR", "/root/reference/tests/ml-1m")
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# README ML-1M safer2 config (dim=32); epochs kept small for benching.
+DIM = 32
+WARMUP_EPOCHS = 2
+BENCH_EPOCHS = 5
+
+
+def read_baseline_ms() -> float:
+    path = os.path.join(REPO, "BASELINE.md")
+    if os.path.exists(path):
+        m = re.search(r"measured_cpp_ml1m_safer2_epoch_ms:\s*([0-9.]+)",
+                      open(path).read())
+        if m:
+            return float(m.group(1))
+    return 0.0
+
+
+def main() -> int:
+    import jax
+
+    from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
+
+    train = Dataset.from_csv(os.path.join(ML1M_DIR, "train.csv"))
+    dd = DeviceData.build(train)
+    cfg = Config(dim=DIM, uobs_weight=0.004, l2_reg=0.004, alpha=0.3,
+                 bandwidth=0.15, xi_iterations=5, pd_iterations=1,
+                 stdev=0.1)
+    model = get_model("safer2", cfg, train.num_users, train.num_items)
+    model.initialize(dd)
+
+    for _ in range(WARMUP_EPOCHS):
+        model.train_epoch(dd)
+    t0 = time.perf_counter()
+    for _ in range(BENCH_EPOCHS):
+        model.train_epoch(dd)
+    jax.block_until_ready(model.state.user_emb)
+    epoch_s = (time.perf_counter() - t0) / BENCH_EPOCHS
+
+    num_train_users = int((dd.user_hist_size > 0).sum())
+    n_chips = jax.device_count()
+    users_per_s_chip = num_train_users / epoch_s / n_chips
+
+    base_ms = read_baseline_ms()
+    vs_baseline = (base_ms / 1000.0) / epoch_s if base_ms else 0.0
+
+    print(json.dumps({
+        "metric": "safer2_ml1m_dim32_users_per_s_per_chip",
+        "value": round(users_per_s_chip, 1),
+        "unit": "users/s/chip",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+    print(f"# epoch_time_ms={epoch_s * 1000:.1f} device={jax.devices()[0]}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,165 @@
+"""CLI driver — the equivalent of the reference's ``run_model`` binary
+(reference tools/run_model.cc:125-274), flag-for-flag:
+
+    python -m safer2_recommender_tpu.cli \
+        --model_name safer2 --train_data ml-1m/train.csv \
+        --test_train_data ml-1m/validation_tr.csv \
+        --test_test_data ml-1m/validation_te.csv \
+        --dim 32 --uobs_weight 0.004 --l2_reg 0.004 --alpha 0.3 \
+        --bandwidth 0.15 --epoch 50
+
+Additions over the reference: --mesh (shard over N devices), --seed
+(reproducible runs), --checkpoint_dir (save/restore, a capability the
+reference lacks entirely — SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from safer2_recommender_tpu.config import Config
+from safer2_recommender_tpu.evaluation.metrics import (
+    DEFAULT_ALPHA_LIST,
+    DEFAULT_K_LIST,
+)
+from safer2_recommender_tpu.utils.logging import Timer, setup
+
+MODEL_CHOICES = ("ials", "ialspp", "safer2", "safer2pp", "cvar_mf",
+                 "erm_mf")
+
+
+def _existing_file(path: str) -> str:
+    """Path validation (reference CLI::ExistingFile, run_model.cc:218)."""
+    import os
+
+    if not os.path.isfile(path):
+        raise argparse.ArgumentTypeError(f"File does not exist: {path}")
+    return path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="safer2_recommender_tpu",
+        description="TPU-native frecsys experimentation utility")
+    # reference flags (run_model.cc:129-231)
+    p.add_argument("-n", "--model_name", required=True,
+                   type=str.lower, choices=MODEL_CHOICES)
+    p.add_argument("--train_data", required=True, type=_existing_file)
+    p.add_argument("--test_train_data", required=True, type=_existing_file)
+    p.add_argument("--test_test_data", required=True, type=_existing_file)
+    p.add_argument("-d", "--dim", type=int, default=8)
+    p.add_argument("--uobs_weight", type=float, default=0.1)
+    p.add_argument("-r", "--l2_reg", type=float, default=0.002)
+    p.add_argument("--l2_reg_exp", type=float, default=1.0)
+    p.add_argument("-s", "--stdev", type=float, default=0.1)
+    p.add_argument("-e", "--epoch", type=int, default=50)
+    p.add_argument("--block_size", type=int, default=64)
+    p.add_argument("--alpha", type=float, default=0.3)
+    p.add_argument("--bandwidth", type=float, default=1.0)
+    p.add_argument("--stepsize", type=float, default=0.1)
+    p.add_argument("--xi_iterations", type=int, default=5)
+    p.add_argument("--pd_iterations", type=int, default=1)
+    p.add_argument("--sampling_ratio", type=float, default=0.1)
+    p.add_argument("--use_epanechnikov", type=int, default=0)
+    p.add_argument("--use_snr", type=int, default=0)
+    p.add_argument("--use_cg", type=int, default=0)
+    p.add_argument("--cg_error_tolerance", type=float, default=1e-10)
+    p.add_argument("--cg_max_iterations", type=int, default=100)
+    p.add_argument("--print_train_stats", type=int, default=1)
+    p.add_argument("--print_evaluation_stats", type=int, default=0)
+    p.add_argument("--print_test_results", type=int, default=0)
+    p.add_argument("--print_residual_stats", type=int, default=0)
+    p.add_argument("--print_var_stats", type=int, default=0)
+    # TPU-native additions
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard over this many devices (0 = single device)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--checkpoint_every", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    log = setup()
+
+    import jax
+
+    from safer2_recommender_tpu.data.dataset import (
+        Dataset,
+        DeviceData,
+        FoldInData,
+    )
+    from safer2_recommender_tpu.models import get_model
+    from safer2_recommender_tpu.parallel import get_mesh
+
+    cfg = Config(
+        dim=args.dim, uobs_weight=args.uobs_weight, l2_reg=args.l2_reg,
+        l2_reg_exp=args.l2_reg_exp, stdev=args.stdev,
+        block_size=args.block_size, alpha=args.alpha,
+        bandwidth=args.bandwidth, stepsize=args.stepsize,
+        xi_iterations=args.xi_iterations,
+        sampling_ratio=args.sampling_ratio,
+        pd_iterations=args.pd_iterations,
+        use_epanechnikov=bool(args.use_epanechnikov),
+        use_snr=bool(args.use_snr), use_cg=bool(args.use_cg),
+        cg_error_tolerance=args.cg_error_tolerance,
+        cg_max_iterations=args.cg_max_iterations,
+        epochs=args.epoch, seed=args.seed,
+    )
+
+    mesh = None
+    if args.mesh:
+        mesh = get_mesh(jax.devices()[: args.mesh])
+
+    train = Dataset.from_csv(args.train_data)
+    test_tr = Dataset.from_csv(args.test_train_data)
+    test_te = Dataset.from_csv(args.test_test_data)
+
+    dd = DeviceData.build(train, mesh=mesh)
+    fold = FoldInData.build(test_tr, test_te, num_items=train.num_items,
+                            mesh=mesh)
+
+    model = get_model(args.model_name, cfg, train.num_users,
+                      train.num_items, mesh=mesh)
+    model.set_print_train_stats(bool(args.print_train_stats))
+    model.set_print_residual_stats(bool(args.print_residual_stats))
+    model.set_print_var_stats(bool(args.print_var_stats))
+    model.initialize(dd)
+
+    ckpt = None
+    if args.checkpoint_dir:
+        from safer2_recommender_tpu.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        restored, start_epoch = ckpt.restore(model.state)
+        if restored is not None:
+            model.state = restored
+            log.info("Restored checkpoint at epoch %d", start_epoch)
+    else:
+        start_epoch = 0
+
+    def evaluate(epoch: int) -> None:
+        metrics = model.evaluate_dataset(fold, DEFAULT_K_LIST,
+                                         DEFAULT_ALPHA_LIST)
+        log.info("Epoch %d:", epoch)
+        metrics.show()
+
+    for epoch in range(start_epoch, cfg.epochs):
+        with Timer() as t:
+            model.train_epoch(dd)
+        log.info("Epoch: %d, Timer: Train=%d", epoch, t.ms)
+        if args.print_evaluation_stats:
+            evaluate(epoch)
+        if ckpt is not None and args.checkpoint_every and (
+                (epoch + 1) % args.checkpoint_every == 0):
+            ckpt.save(model.state, epoch + 1)
+
+    log.info("Validation Results")
+    evaluate(cfg.epochs)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,415 @@
+"""Data layer: CSV ingest -> device-resident bucketed COO/CSR.
+
+Reference parity
+----------------
+The reference ingests a 2-column ``uid,sid`` CSV (header discarded) into
+dual sparse indexes ``by_user[u] = [(item, rating_index)...]`` and
+``by_item[i] = [(user, rating_index)...]`` where ``rating_index`` is the
+global tuple position (reference include/frecsys/dataset.h:71-99). That
+``rating_index`` is load-bearing: the blockwise models keep a flat
+``prediction`` vector of length ``num_tuples`` indexed by it as a residual
+cache (reference ialspp.h:210-216, safer2pp.h:290-297).
+
+TPU-native design
+-----------------
+Ragged per-row histories (5..10^3+ interactions) are the central layout
+problem: TPU programs need static shapes and MXU-sized tiles. We bucket
+rows by history length into power-of-two padded tiles:
+
+  Bucket(row_ids[N], col_ids[N, L], tuple_idx[N, L], length[N])
+
+Every per-row computation then becomes a *batched* einsum / Cholesky over
+the bucket, compiled once per (N, L) shape. Padding conventions:
+
+  * padded rows:    row_ids == num_rows (out of bounds -> scatter drops),
+                    length == 0
+  * padded columns: col_ids == 0 (masked via length),
+                    tuple_idx == nnz (out of bounds -> scatter drops;
+                    gathers clamp and are masked)
+
+Tuple order is the original file order, preserving the reference's
+``rating_index`` semantics exactly, so the prediction cache is a flat
+[nnz] device array shared by the by-user and by-item views.
+
+On a device mesh, bucket rows are sharded over the "data" axis; the
+embedding tables stay replicated (catalog sides are small for these
+workloads) and XLA inserts the Gramian all-reduces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safer2_recommender_tpu.parallel import mesh as mesh_lib
+
+_log = logging.getLogger("safer2_recommender_tpu")
+
+
+# --------------------------------------------------------------------------
+# Host-side dataset
+# --------------------------------------------------------------------------
+
+
+def _read_csv_native(path: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    from safer2_recommender_tpu.native import build as native_build
+
+    lib = native_build.load()
+    if lib is None:
+        return None
+    import ctypes
+
+    n = lib.frt_csv_count(path.encode())
+    if n < 0:
+        return None
+    users = np.empty(n, dtype=np.int32)
+    items = np.empty(n, dtype=np.int32)
+    got = lib.frt_csv_read(
+        path.encode(),
+        users.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        items.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+    )
+    if got != n:
+        return None
+    return users, items
+
+
+def _read_csv_python(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    try:
+        import pandas as pd
+
+        df = pd.read_csv(path, dtype=np.int32)
+        cols = df.columns
+        return (df[cols[0]].to_numpy(np.int32),
+                df[cols[1]].to_numpy(np.int32))
+    except ImportError:
+        arr = np.loadtxt(path, dtype=np.int32, delimiter=",", skiprows=1)
+        return arr[:, 0].astype(np.int32), arr[:, 1].astype(np.int32)
+
+
+class Dataset:
+    """Host-side interaction set as COO arrays in file tuple order.
+
+    Equivalent surface to reference Dataset (dataset.h:24-69):
+    ``num_users``/``num_items`` are ``max id + 1`` (id gaps keep embedding
+    rows, matching the reference's table sizing in run_model.cc:240).
+    """
+
+    def __init__(self, user_ids: np.ndarray, item_ids: np.ndarray):
+        assert user_ids.shape == item_ids.shape
+        self.user_ids = np.ascontiguousarray(user_ids, dtype=np.int32)
+        self.item_ids = np.ascontiguousarray(item_ids, dtype=np.int32)
+        self.nnz = int(user_ids.shape[0])
+        self.max_user = int(user_ids.max()) if self.nnz else -1
+        self.max_item = int(item_ids.max()) if self.nnz else -1
+        self.num_users = self.max_user + 1
+        self.num_items = self.max_item + 1
+        _log.info(
+            "max_user=%d\tmax_item=%d\tdistinct user=%d\tdistinct item=%d"
+            "\tnum_tuples=%d",
+            self.max_user, self.max_item,
+            len(np.unique(self.user_ids)), len(np.unique(self.item_ids)),
+            self.nnz,
+        )
+
+    @classmethod
+    def from_csv(cls, path: str) -> "Dataset":
+        out = _read_csv_native(path)
+        if out is None:
+            out = _read_csv_python(path)
+        return cls(*out)
+
+    def num_tuples(self) -> int:
+        return self.nnz
+
+
+# --------------------------------------------------------------------------
+# Bucketed device layout
+# --------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Bucket:
+    """A padded tile of rows whose histories all fit in ``L`` columns."""
+
+    row_ids: jax.Array    # [N] int32; padded rows == num_rows (drop)
+    col_ids: jax.Array    # [N, L] int32; padded cols == 0 (masked)
+    tuple_idx: jax.Array  # [N, L] int32; padded == nnz (drop)
+    length: jax.Array     # [N] int32; 0 on padded rows
+
+    @property
+    def n_rows(self) -> int:
+        return self.row_ids.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.col_ids.shape[1]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bucket_edges(max_len: int, min_bucket: int) -> Sequence[int]:
+    edges = []
+    e = min_bucket
+    while True:
+        edges.append(e)
+        if e >= max_len:
+            break
+        e *= 2
+    return edges
+
+
+def _build_buckets(
+    sorted_rows: np.ndarray,      # [nnz] row id per tuple, sorted ascending
+    sorted_cols: np.ndarray,      # [nnz] col id per tuple (same order)
+    sorted_tidx: np.ndarray,      # [nnz] global tuple index (same order)
+    num_rows: int,
+    nnz: int,
+    min_bucket: int,
+    row_multiple: int,
+) -> Tuple[Bucket, ...]:
+    """Group rows by history length into power-of-two padded tiles."""
+    if sorted_rows.size == 0:
+        return ()
+    uniq, starts, counts = np.unique(
+        sorted_rows, return_index=True, return_counts=True)
+    max_len = int(counts.max())
+    edges = _bucket_edges(max_len, min_bucket)
+
+    buckets = []
+    prev = 0
+    for edge in edges:
+        sel = (counts > prev) & (counts <= edge)
+        prev = edge
+        ids = uniq[sel]
+        if ids.size == 0:
+            continue
+        st = starts[sel]
+        ct = counts[sel]
+        n = ids.size
+        n_pad = _round_up(n, row_multiple)
+        row_ids = np.full(n_pad, num_rows, dtype=np.int32)
+        row_ids[:n] = ids
+        length = np.zeros(n_pad, dtype=np.int32)
+        length[:n] = ct
+        col_ids = np.zeros((n_pad, edge), dtype=np.int32)
+        tidx = np.full((n_pad, edge), nnz, dtype=np.int32)
+        # Vectorized ragged fill: flat positions (row, offset-within-row).
+        row_of = np.repeat(np.arange(n), ct)
+        off = _segment_arange(ct)
+        gidx = np.repeat(st, ct) + off
+        col_ids[row_of, off] = sorted_cols[gidx]
+        tidx[row_of, off] = sorted_tidx[gidx]
+        buckets.append(
+            Bucket(
+                row_ids=jnp.asarray(row_ids),
+                col_ids=jnp.asarray(col_ids),
+                tuple_idx=jnp.asarray(tidx),
+                length=jnp.asarray(length),
+            ))
+    return tuple(buckets)
+
+
+def _segment_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] without a Python loop."""
+    total = int(counts.sum())
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - counts, counts)
+    return out
+
+
+def _csr_views(ids: np.ndarray, other: np.ndarray, nnz: int):
+    """Stable sort tuples by ``ids``; returns (sorted ids, other, tuple idx)."""
+    order = np.argsort(ids, kind="stable")
+    return ids[order], other[order], np.arange(nnz, dtype=np.int32)[order]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceData:
+    """Device-resident training dataset (both adjacency views).
+
+    ``user_hist_size``/``item_hist_size`` are float vectors with 0 at id
+    gaps (reference safer2.h:827-830). ``item_reg`` is the SAFER-family
+    per-item regularization statistic sum(1/|H_u|) over the item's users
+    (reference safer2.h:831-837, erm_mf.h:580-586).
+    """
+
+    by_user: Tuple[Bucket, ...]
+    by_item: Tuple[Bucket, ...]
+    user_hist_size: jax.Array   # [num_users] f32
+    item_hist_size: jax.Array   # [num_items] f32
+    item_reg: jax.Array         # [num_items] f32
+    num_users: int = dataclasses.field(metadata=dict(static=True))
+    num_items: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def build(
+        cls,
+        ds: Dataset,
+        mesh=None,
+        num_users: Optional[int] = None,
+        num_items: Optional[int] = None,
+        min_bucket: int = 8,
+        row_multiple: int = 8,
+    ) -> "DeviceData":
+        num_users = num_users or ds.num_users
+        num_items = num_items or ds.num_items
+        row_multiple = row_multiple * mesh_lib.num_shards(mesh)
+
+        u_rows, u_cols, u_tidx = _csr_views(ds.user_ids, ds.item_ids, ds.nnz)
+        i_rows, i_cols, i_tidx = _csr_views(ds.item_ids, ds.user_ids, ds.nnz)
+
+        by_user = _build_buckets(u_rows, u_cols, u_tidx, num_users, ds.nnz,
+                                 min_bucket, row_multiple)
+        by_item = _build_buckets(i_rows, i_cols, i_tidx, num_items, ds.nnz,
+                                 min_bucket, row_multiple)
+
+        uh = np.zeros(num_users, dtype=np.float32)
+        np.add.at(uh, ds.user_ids, 1.0)
+        ih = np.zeros(num_items, dtype=np.float32)
+        np.add.at(ih, ds.item_ids, 1.0)
+        ireg = np.zeros(num_items, dtype=np.float32)
+        np.add.at(ireg, ds.item_ids, 1.0 / uh[ds.user_ids])
+
+        dd = cls(
+            by_user=by_user,
+            by_item=by_item,
+            user_hist_size=jnp.asarray(uh),
+            item_hist_size=jnp.asarray(ih),
+            item_reg=jnp.asarray(ireg),
+            num_users=num_users,
+            num_items=num_items,
+            nnz=ds.nnz,
+        )
+        if mesh is not None:
+            dd = dd.shard(mesh)
+        return dd
+
+    def shard(self, mesh) -> "DeviceData":
+        """Shard bucket rows over the mesh data axis; vectors replicated."""
+        rep = mesh_lib.replicated(mesh)
+        shard_bucket = lambda b: Bucket(
+            row_ids=mesh_lib.put(b.row_ids, mesh_lib.row_sharding(mesh, 1)),
+            col_ids=mesh_lib.put(b.col_ids, mesh_lib.row_sharding(mesh, 2)),
+            tuple_idx=mesh_lib.put(b.tuple_idx, mesh_lib.row_sharding(mesh, 2)),
+            length=mesh_lib.put(b.length, mesh_lib.row_sharding(mesh, 1)),
+        )
+        return dataclasses.replace(
+            self,
+            by_user=tuple(shard_bucket(b) for b in self.by_user),
+            by_item=tuple(shard_bucket(b) for b in self.by_item),
+            user_hist_size=mesh_lib.put(self.user_hist_size, rep),
+            item_hist_size=mesh_lib.put(self.item_hist_size, rep),
+            item_reg=mesh_lib.put(self.item_reg, rep),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FoldInData:
+    """Held-out evaluation data ("strong generalization").
+
+    Evaluation folds in *fresh* user embeddings from the held-out users'
+    training interactions with item embeddings frozen, then scores the
+    full catalog (reference ials.h:148-185, safer2.h:225-263). Eval users
+    get compact row ids 0..n_eval-1 (the reference's ``user_to_ind`` map,
+    recommender.h:82).
+
+    gt/excl are padded with ``num_items`` (never matches a real item).
+    """
+
+    by_user: Tuple[Bucket, ...]      # fold-in histories, compact rows
+    excl: jax.Array                  # [n_pad, Hmax] i32 history (mask at eval)
+    gt: jax.Array                    # [n_pad, Gmax] i32 ground-truth items
+    gt_len: jax.Array                # [n_pad] i32 (0 => padded/skip row)
+    hist_size: jax.Array             # [n_pad] f32 fold-in history sizes
+    n_eval: int = dataclasses.field(metadata=dict(static=True))
+    n_pad: int = dataclasses.field(metadata=dict(static=True))
+    num_items: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def build(
+        cls,
+        tr: Dataset,
+        te: Dataset,
+        num_items: int,
+        mesh=None,
+        min_bucket: int = 8,
+        row_multiple: int = 8,
+        chunk: int = 1024,
+    ) -> "FoldInData":
+        row_multiple = row_multiple * mesh_lib.num_shards(mesh)
+        uniq = np.unique(tr.user_ids)
+        n_eval = uniq.size
+        remap = {int(u): i for i, u in enumerate(uniq)}
+        compact_u = np.searchsorted(uniq, tr.user_ids).astype(np.int32)
+
+        u_rows, u_cols, u_tidx = _csr_views(compact_u, tr.item_ids, tr.nnz)
+        by_user = _build_buckets(u_rows, u_cols, u_tidx, n_eval, tr.nnz,
+                                 min_bucket, row_multiple)
+
+        n_pad = _round_up(max(n_eval, 1), max(chunk, row_multiple))
+
+        counts = np.bincount(compact_u, minlength=n_eval)
+        hmax = int(counts.max()) if n_eval else 1
+        excl = np.full((n_pad, hmax), num_items, dtype=np.int32)
+        order = np.argsort(compact_u, kind="stable")
+        row_of = compact_u[order]
+        off = _segment_arange(counts[counts > 0]) if n_eval else np.zeros(0)
+        excl[row_of, off] = tr.item_ids[order]
+
+        # ground truth (only te users that exist among tr users are
+        # evaluated; the reference indexes metrics via the tr-built
+        # user_to_ind map, recommender.h:109-117)
+        te_mask = np.isin(te.user_ids, uniq)
+        te_u = te.user_ids[te_mask]
+        te_i = te.item_ids[te_mask]
+        te_compact = np.searchsorted(uniq, te_u).astype(np.int32)
+        gt_counts = np.bincount(te_compact, minlength=n_eval)
+        gmax = int(gt_counts.max()) if gt_counts.size else 1
+        gt = np.full((n_pad, max(gmax, 1)), num_items, dtype=np.int32)
+        gorder = np.argsort(te_compact, kind="stable")
+        grow = te_compact[gorder]
+        goff = _segment_arange(gt_counts[gt_counts > 0]) if te_u.size else (
+            np.zeros(0, dtype=np.int64))
+        gt[grow, goff] = te_i[gorder]
+        gt_len = np.zeros(n_pad, dtype=np.int32)
+        gt_len[:n_eval] = gt_counts
+
+        hist = np.zeros(n_pad, dtype=np.float32)
+        hist[:n_eval] = counts
+
+        fd = cls(
+            by_user=by_user,
+            excl=jnp.asarray(excl),
+            gt=jnp.asarray(gt),
+            gt_len=jnp.asarray(gt_len),
+            hist_size=jnp.asarray(hist),
+            n_eval=n_eval,
+            n_pad=n_pad,
+            num_items=num_items,
+            nnz=tr.nnz,
+        )
+        if mesh is not None:
+            rep = mesh_lib.replicated(mesh)
+            fd = dataclasses.replace(
+                fd,
+                excl=mesh_lib.put(fd.excl, rep),
+                gt=mesh_lib.put(fd.gt, rep),
+                gt_len=mesh_lib.put(fd.gt_len, rep),
+                hist_size=mesh_lib.put(fd.hist_size, rep),
+            )
+        return fd

@@ -1,0 +1,186 @@
+"""Recommender base class: state, training loop plumbing, eval engine.
+
+Plays the role of the reference's abstract ``Recommender``
+(reference include/frecsys/recommender.h:40-130): shared evaluation of a
+held-out dataset (fold-in + full-catalog scoring + Recall/NDCG/CVaR) and
+the stats-printing toggles. The threaded per-user evaluation driver
+(recommender.h:78-129) becomes a chunked, sharded scoring matmul with a
+fused masked top-k.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safer2_recommender_tpu.config import Config
+from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
+from safer2_recommender_tpu.evaluation.metrics import (
+    DEFAULT_ALPHA_LIST,
+    DEFAULT_K_LIST,
+    EvaluationResult,
+    topk_metrics,
+)
+from safer2_recommender_tpu.models import common
+
+_log = logging.getLogger("safer2_recommender_tpu")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MFState:
+    """Model state pytree (superset across the six models)."""
+
+    user_emb: jax.Array      # [num_users, dim]
+    item_emb: jax.Array      # [num_items, dim]
+    item_gramian: jax.Array  # [dim, dim] cached V^T V (safer2.h:55)
+    user_loss: jax.Array     # [num_users]
+    dual_weight: jax.Array   # [num_users]
+    xi: jax.Array            # scalar smoothed-quantile estimate
+    key: jax.Array           # PRNG key (explicit; improves on the
+                             # reference's std::random_device seeding)
+
+    def replace(self, **kw) -> "MFState":
+        return dataclasses.replace(self, **kw)
+
+
+class Recommender:
+    """Base class. Subclasses implement ``_epoch`` and ``_fold_in``."""
+
+    name = "base"
+
+    def __init__(self, cfg: Config, num_users: int, num_items: int,
+                 mesh=None):
+        self.cfg = cfg
+        self.num_users = num_users
+        self.num_items = num_items
+        self.mesh = mesh
+        self.print_train_stats = False
+        self.print_residual_stats = False
+        self.print_var_stats = False
+
+        key = jax.random.PRNGKey(cfg.seed)
+        ku, ki, kr = jax.random.split(key, 3)
+        user_emb = common.normal_init(ku, num_users, cfg.dim, cfg.stdev)
+        item_emb = common.normal_init(ki, num_items, cfg.dim, cfg.stdev)
+        self.state = MFState(
+            user_emb=user_emb,
+            item_emb=item_emb,
+            item_gramian=item_emb.T @ item_emb,
+            user_loss=jnp.zeros((num_users,), jnp.float32),
+            dual_weight=jnp.full((num_users,), cfg.alpha, jnp.float32),
+            xi=jnp.float32(0.0),
+            key=kr,
+        )
+        self._epoch_jit = jax.jit(self._epoch)
+        self._fold_in_jit = jax.jit(self._fold_in)
+        self._eval_jit = None
+
+    # ---- reference API surface -------------------------------------------
+
+    def set_print_train_stats(self, v: bool) -> None:
+        self.print_train_stats = v
+
+    def set_print_residual_stats(self, v: bool) -> None:
+        self.print_residual_stats = v
+
+    def set_print_var_stats(self, v: bool) -> None:
+        self.print_var_stats = v
+
+    def get_mean_weight(self) -> float:
+        """Mean dual weight; tracks alpha when xi is accurate
+        (reference safer2.h:812-817, Proposition C.1 hook)."""
+        return float(jnp.mean(self.state.dual_weight))
+
+    def initialize(self, dd: DeviceData) -> None:
+        """Pre-training warm start; overridden by the SAFER family
+        (reference safer2.h:819-838)."""
+
+    def train_epoch(self, dd: DeviceData) -> None:
+        self.state = jax.block_until_ready(self._epoch_jit(self.state, dd))
+        self._log_var_stats()
+
+    # ---- subclass hooks ---------------------------------------------------
+
+    def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
+        raise NotImplementedError
+
+    def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
+        """Return eval-user embeddings [fold.n_pad, dim]."""
+        raise NotImplementedError
+
+    # ---- evaluation engine -------------------------------------------------
+
+    def evaluate_dataset(
+        self,
+        fold: FoldInData,
+        k_list: Sequence[int] = DEFAULT_K_LIST,
+        alpha_list: Sequence[float] = DEFAULT_ALPHA_LIST,
+    ) -> EvaluationResult:
+        """Held-out evaluation (reference EvaluateDataset overrides):
+        fold in fresh user embeddings from fold.by_user with items frozen,
+        score the full catalog, mask history, compute Recall/NDCG."""
+        ue = self._fold_in_jit(self.state, fold)
+        if self._eval_jit is None:
+            self._eval_jit = jax.jit(
+                self._eval_metrics, static_argnames=("k_list",))
+        recall, ndcg = self._eval_jit(ue, self.state.item_emb, fold,
+                                      k_list=tuple(k_list))
+        recall = np.asarray(recall)
+        ndcg = np.asarray(ndcg)
+        keep = np.asarray(fold.gt_len) > 0
+        return EvaluationResult(
+            k_list=tuple(k_list),
+            alpha_list=tuple(alpha_list),
+            recall=recall[keep],
+            ndcg=ndcg[keep],
+        )
+
+    def _eval_metrics(self, ue: jax.Array, item_emb: jax.Array,
+                      fold: FoldInData, *, k_list: Tuple[int, ...]):
+        chunk = min(self.cfg.eval_chunk, fold.n_pad)
+        assert fold.n_pad % chunk == 0
+        n_chunks = fold.n_pad // chunk
+        d = ue.shape[1]
+
+        def score_chunk(args):
+            u, excl, gt, gt_len = args
+            scores = u @ item_emb.T          # [chunk, num_items] matmul
+            return topk_metrics(scores, excl, gt, gt_len, k_list)
+
+        rec, ndcg = jax.lax.map(
+            score_chunk,
+            (
+                ue.reshape(n_chunks, chunk, d),
+                fold.excl.reshape(n_chunks, chunk, -1),
+                fold.gt.reshape(n_chunks, chunk, -1),
+                fold.gt_len.reshape(n_chunks, chunk),
+            ),
+        )
+        nk = len(k_list)
+        return rec.reshape(-1, nk), ndcg.reshape(-1, nk)
+
+    # ---- logging ------------------------------------------------------------
+
+    def _log_var_stats(self) -> None:
+        if not self.print_var_stats:
+            return
+        loss = np.asarray(self.state.user_loss)
+        vals = np.sort(-loss)
+        q = int(len(vals) * self.cfg.alpha)
+        var = -vals[q]
+        cvar = -vals[: q + 1].sum() / max(q, 1)
+        _log.info("VaR: %s CVaR: %s", var, cvar)
+        dw = np.asarray(self.state.dual_weight)
+        _log.info("Min: %.3f, Mean: %.3f, Max: %.3f",
+                  dw.min(), dw.mean(), dw.max())
+
+    def _log_weighted_loss(self) -> None:
+        wl = float(jnp.mean(self.state.dual_weight * self.state.user_loss))
+        _log.info("Weighted Loss: %s", wl)

@@ -1,0 +1,271 @@
+"""Shared batched building blocks for all six model families.
+
+Each function maps a whole padded bucket of users/items to new embedding
+rows in one device program — the TPU-native replacement for the
+reference's per-row ``Project*`` functions running inside thread pools
+(reference ials.h:88-144, safer2.h:104-221, ialspp.h:85-145,
+safer2pp.h:97-216).
+
+Conventions:
+  * ``table_other`` is the frozen side's embedding table (items when
+    solving users and vice versa).
+  * ``gramian`` is the *global* Gramian of the frozen side (possibly
+    dual-weighted), computed once per step like reference ials.h:321.
+  * All returned row blocks are [N, ...]; padded rows produce garbage that
+    the out-of-bounds scatter drops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from safer2_recommender_tpu.data.dataset import Bucket
+from safer2_recommender_tpu.ops import assemble, solve
+
+
+def safe_len(bucket: Bucket) -> jax.Array:
+    """History sizes as f32 with padded rows clamped to 1 (avoids 0-div)."""
+    return jnp.maximum(bucket.length, 1).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Exact (full-dimension) solves
+# --------------------------------------------------------------------------
+
+
+def solve_rows_ials(table_other: jax.Array, gramian: jax.Array,
+                    bucket: Bucket, reg_rows: jax.Array, uobs: float,
+                    *, use_cg: bool = False, cg_tol: float = 1e-10,
+                    cg_iters: int = 100, dtype=None) -> jax.Array:
+    """iALS normal equations (reference ials.h:88-144):
+
+    A = uobs * G + reg * I + sum_h v v^T ;  rhs = sum_h v ;  x = A^-1 rhs.
+    """
+    emb, _ = assemble.gather_history(table_other, bucket, dtype)
+    a = assemble.row_gramians(emb)
+    rhs = assemble.row_sums(emb)
+    a = a + uobs * gramian[None].astype(a.dtype)
+    a = assemble.add_ridge(a, reg_rows)
+    return solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
+                       max_iters=cg_iters)
+
+
+def assemble_weighted_mean(table_other: jax.Array, gramian: jax.Array,
+                           bucket: Bucket, reg_rows: jax.Array,
+                           uobs: float, row_weight: jax.Array,
+                           dtype=None) -> Tuple[jax.Array, jax.Array]:
+    """SAFER-family user-side system (reference safer2.h:104-163,
+    erm_mf.h:91-151):
+
+    A = w * (sum_h v v^T / |H| + uobs * G) + reg * I
+    rhs = (w / |H|) * sum_h v
+    """
+    emb, _ = assemble.gather_history(table_other, bucket, dtype)
+    inv_len = 1.0 / safe_len(bucket)
+    w = row_weight
+    a = assemble.row_gramians(emb) * inv_len[:, None, None]
+    a = (a + uobs * gramian[None].astype(a.dtype)) * w[:, None, None]
+    a = assemble.add_ridge(a, reg_rows)
+    rhs = assemble.row_sums(emb) * (w * inv_len)[:, None]
+    return a, rhs
+
+
+def solve_rows_weighted_mean(table_other, gramian, bucket, reg_rows, uobs,
+                             row_weight, *, use_cg=False, cg_tol=1e-10,
+                             cg_iters=100, dtype=None) -> jax.Array:
+    a, rhs = assemble_weighted_mean(table_other, gramian, bucket, reg_rows,
+                                    uobs, row_weight, dtype)
+    return solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
+                       max_iters=cg_iters)
+
+
+def assemble_weighted_item(table_other: jax.Array, w_gramian: jax.Array,
+                           bucket: Bucket, reg_rows: jax.Array, uobs: float,
+                           norm_dual: jax.Array,
+                           dtype=None) -> Tuple[jax.Array, jax.Array]:
+    """SAFER-family item-side system (reference safer2.h:166-221,
+    erm_mf.h:153-210):
+
+    A = uobs * (U^T diag(z) U) + reg * I + sum_h wt_u u u^T
+    rhs = sum_h wt_u u            with wt_u = z_u / |H_u|.
+
+    The reference's tail rankUpdate bug (safer2.h:203) is intentionally
+    not reproduced (correct masked einsum instead).
+    """
+    emb, mask = assemble.gather_history(table_other, bucket, dtype)
+    wt = norm_dual[bucket.col_ids] * mask                     # [N, L]
+    a = assemble.row_gramians(emb, col_weight=wt)
+    a = a + uobs * w_gramian[None].astype(a.dtype)
+    a = assemble.add_ridge(a, reg_rows)
+    rhs = assemble.row_sums(emb, col_weight=wt)
+    return a, rhs
+
+
+def solve_rows_weighted_item(table_other, w_gramian, bucket, reg_rows, uobs,
+                             norm_dual, *, use_cg=False, cg_tol=1e-10,
+                             cg_iters=100, dtype=None) -> jax.Array:
+    a, rhs = assemble_weighted_item(table_other, w_gramian, bucket,
+                                    reg_rows, uobs, norm_dual, dtype)
+    return solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
+                       max_iters=cg_iters)
+
+
+# --------------------------------------------------------------------------
+# Blockwise (subspace) solves with the flat prediction/residual cache
+# --------------------------------------------------------------------------
+
+
+def block_rows_unweighted(
+    table_self: jax.Array, other_loc: jax.Array, pred: jax.Array,
+    bucket: Bucket, s: int, e: int, g_loc: jax.Array, g_lg: jax.Array,
+    reg_rows: jax.Array, uobs: float, dtype=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """iALS++ block delta-solve (reference ialspp.h:85-145).
+
+    A = uobs * G_loc + reg * I + sum_h v_loc v_loc^T
+    rhs = sum_h v_loc (pred_t - 1) + uobs * G_lg @ x_full + reg * x_loc
+    new_loc = x_loc - A^-1 rhs
+
+    Returns (new local rows [N, e-s], per-tuple prediction deltas [N, L]).
+    """
+    x_full = table_self[bucket.row_ids]
+    x_loc = x_full[:, s:e]
+    emb, mask = assemble.gather_history(other_loc, bucket, dtype)
+    resid = assemble.gather_pred(pred, bucket, mask) - mask    # pred-1, masked
+    a = assemble.row_gramians(emb)
+    a = a + uobs * g_loc[None].astype(a.dtype)
+    a = assemble.add_ridge(a, reg_rows)
+    rhs = assemble.row_sums(emb, col_weight=resid)
+    rhs = rhs + uobs * (x_full @ g_lg.T) + reg_rows[:, None] * x_loc
+    delta = -solve.cholesky_solve(a, rhs)
+    pred_delta = jnp.einsum("nld,nd->nl", emb, delta) * mask
+    return x_loc + delta, pred_delta
+
+
+def block_rows_user_safer(
+    table_self: jax.Array, other_loc: jax.Array, pred: jax.Array,
+    bucket: Bucket, s: int, e: int, g_loc: jax.Array, g_lg: jax.Array,
+    reg_rows: jax.Array, uobs: float, row_weight: jax.Array, dtype=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """SAFER2++ user block step (reference safer2pp.h:97-159):
+
+    A = w * (sum_h v_loc v_loc^T / |H| + uobs * G_loc) + reg * I
+    rhs = (w/|H|) sum_h v_loc (pred-1) + w * uobs * G_lg @ u_full
+          + reg * u_loc
+    """
+    x_full = table_self[bucket.row_ids]
+    x_loc = x_full[:, s:e]
+    emb, mask = assemble.gather_history(other_loc, bucket, dtype)
+    resid = assemble.gather_pred(pred, bucket, mask) - mask
+    inv_len = 1.0 / safe_len(bucket)
+    w = row_weight
+    a = assemble.row_gramians(emb) * inv_len[:, None, None]
+    a = (a + uobs * g_loc[None].astype(a.dtype)) * w[:, None, None]
+    a = assemble.add_ridge(a, reg_rows)
+    rhs = assemble.row_sums(emb, col_weight=resid) * (w * inv_len)[:, None]
+    rhs = rhs + (uobs * w)[:, None] * (x_full @ g_lg.T)
+    rhs = rhs + reg_rows[:, None] * x_loc
+    delta = -solve.cholesky_solve(a, rhs)
+    pred_delta = jnp.einsum("nld,nd->nl", emb, delta) * mask
+    return x_loc + delta, pred_delta
+
+
+def block_rows_item_safer(
+    table_self: jax.Array, other_loc: jax.Array, pred: jax.Array,
+    bucket: Bucket, s: int, e: int, g_loc_w: jax.Array, g_lg_w: jax.Array,
+    reg_rows: jax.Array, uobs: float, norm_dual: jax.Array, dtype=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """SAFER2++ item block step (reference safer2pp.h:161-216):
+
+    A = uobs * G_loc_w + reg * I + sum_h wt_u u_loc u_loc^T
+    rhs = sum_h wt_u u_loc (pred-1) + uobs * G_lg_w @ v_full + reg * v_loc
+    with G_loc_w/G_lg_w built from the raw-dual-weighted user block.
+    """
+    x_full = table_self[bucket.row_ids]
+    x_loc = x_full[:, s:e]
+    emb, mask = assemble.gather_history(other_loc, bucket, dtype)
+    wt = norm_dual[bucket.col_ids] * mask
+    resid = assemble.gather_pred(pred, bucket, mask) - mask
+    a = assemble.row_gramians(emb, col_weight=wt)
+    a = a + uobs * g_loc_w[None].astype(a.dtype)
+    a = assemble.add_ridge(a, reg_rows)
+    rhs = assemble.row_sums(emb, col_weight=wt * resid)
+    rhs = rhs + uobs * (x_full @ g_lg_w.T) + reg_rows[:, None] * x_loc
+    delta = -solve.cholesky_solve(a, rhs)
+    pred_delta = jnp.einsum("nld,nd->nl", emb, delta) * mask
+    return x_loc + delta, pred_delta
+
+
+def write_block(table: jax.Array, bucket: Bucket, s: int, e: int,
+                new_loc: jax.Array) -> jax.Array:
+    """Scatter new local columns back into full rows."""
+    rows = table[bucket.row_ids]
+    rows = jax.lax.dynamic_update_slice_in_dim(rows, new_loc, s, axis=1)
+    return assemble.scatter_rows(table, bucket.row_ids, rows)
+
+
+# --------------------------------------------------------------------------
+# Losses / predictions
+# --------------------------------------------------------------------------
+
+
+def predict_all(user_emb: jax.Array, item_emb: jax.Array, by_user,
+                nnz: int) -> jax.Array:
+    """Flat prediction cache over all tuples (reference ialspp.h:469-517)."""
+    pred = jnp.zeros((nnz,), dtype=jnp.float32)
+    for b in by_user:
+        emb, mask = assemble.gather_history(item_emb, b)
+        u = user_emb[b.row_ids]
+        vals = jnp.einsum("nld,nd->nl", emb, u) * mask
+        pred = assemble.scatter_pred_update(pred, b, vals, add=False)
+    return pred
+
+
+def user_losses(user_emb: jax.Array, item_emb: jax.Array,
+                gramian: jax.Array, by_user, num_users: int, uobs: float,
+                *, halve: bool, pred: Optional[jax.Array] = None
+                ) -> jax.Array:
+    """Per-user losses (reference ials.h:70-86 / safer2.h:85-101):
+
+    L_u = sum_h (v^T u - 1)^2 / |H_u| + uobs * u^T G u   [ / 2 if halve ]
+
+    ``pred`` uses the cached predictions for the observed part instead of
+    re-scoring (reference safer2pp.h:80-95). Absent users keep loss 0.
+    """
+    out = jnp.zeros((num_users,), dtype=jnp.float32)
+    for b in by_user:
+        u = user_emb[b.row_ids]
+        mask = assemble.history_mask(b)
+        if pred is None:
+            emb, mask = assemble.gather_history(item_emb, b)
+            p = jnp.einsum("nld,nd->nl", emb, u)
+        else:
+            p = assemble.gather_pred(pred, b, mask)
+        obs = jnp.sum(jnp.square(p - 1.0) * mask, axis=1) / safe_len(b)
+        quad = uobs * jnp.einsum("nd,de,ne->n", u, gramian, u)
+        loss = obs + quad
+        if halve:
+            loss = loss * 0.5
+        out = assemble.scatter_vector(out, b.row_ids, loss)
+    return out
+
+
+def ials_reg(length: jax.Array, num_choices: int, reg: float,
+             reg_exp: float, uobs: float) -> jax.Array:
+    """Frequency-scaled regularizer reg*(|H| + uobs*n)^exp
+    (reference ials.h:310-315)."""
+    base = length.astype(jnp.float32) + uobs * num_choices
+    if reg_exp == 1.0:
+        return reg * base
+    return reg * jnp.power(base, reg_exp)
+
+
+def normal_init(key: jax.Array, rows: int, dim: int,
+                stdev: float) -> jax.Array:
+    """N(0, stdev/sqrt(dim)) init (reference recommender.h:61-67 with the
+    adjusted stdev of ials.h:47)."""
+    return jax.random.normal(key, (rows, dim), dtype=jnp.float32) * (
+        stdev / (dim ** 0.5))

@@ -1,0 +1,112 @@
+"""CVaR-MF: the non-smooth CVaR baseline (projected subgradient descent).
+
+Capability parity with reference include/frecsys/cvar_mf.h
+(CVaRMFRecommender):
+
+  z-step : hard indicator z_u = [loss_u - xi >= 0]   (cvar_mf.h:597-642)
+  U-step : gradient step u <- u - eta (A u - rhs)    (cvar_mf.h:88-134)
+  V-step : gradient step on items, using the *pre-U-step* user embeddings
+           (cvar_mf.h:282-295)
+  xi     : exact alpha-quantile of the loss vector   (cvar_mf.h:582-595)
+  eval   : closed-form fold-in with weight 1         (cvar_mf.h:182-229)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
+from safer2_recommender_tpu.models import common
+from safer2_recommender_tpu.models.base import MFState, Recommender
+from safer2_recommender_tpu.ops import assemble, quantile
+
+
+class CVaRMF(Recommender):
+    name = "cvar_mf"
+
+    def _user_reg(self) -> float:
+        return self.cfg.l2_reg * (1.0 + self.cfg.uobs_weight
+                                  * self.num_items)
+
+    def _item_reg(self, item_reg_vec, row_ids) -> jax.Array:
+        stat = item_reg_vec[jnp.minimum(row_ids, item_reg_vec.shape[0] - 1)]
+        return self.cfg.l2_reg * (
+            stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
+
+    def _grad_step_u(self, ue, item_emb, gramian, buckets, dual):
+        cfg = self.cfg
+        reg = self._user_reg()
+        for b in buckets:
+            w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
+            a, rhs = common.assemble_weighted_mean(
+                item_emb, gramian, b,
+                jnp.full((b.n_rows,), reg, jnp.float32),
+                cfg.uobs_weight, w)
+            u_rows = ue[b.row_ids]
+            grad = jnp.einsum("nde,ne->nd", a, u_rows) - rhs
+            ue = assemble.scatter_rows(ue, b.row_ids,
+                                       u_rows - cfg.stepsize * grad)
+        return ue
+
+    def _grad_step_v(self, v, user_emb, dd: DeviceData, dual):
+        cfg = self.cfg
+        w_gram = user_emb.T @ (user_emb * dual[:, None])
+        norm_dual = jnp.where(dd.user_hist_size > 0,
+                              dual / jnp.maximum(dd.user_hist_size, 1.0),
+                              0.0)
+        for b in dd.by_item:
+            reg = self._item_reg(dd.item_reg, b.row_ids)
+            a, rhs = common.assemble_weighted_item(
+                user_emb, w_gram, b, reg, cfg.uobs_weight, norm_dual)
+            v_rows = v[b.row_ids]
+            grad = jnp.einsum("nde,ne->nd", a, v_rows) - rhs
+            v = assemble.scatter_rows(v, b.row_ids,
+                                      v_rows - cfg.stepsize * grad)
+        return v
+
+    def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
+        cfg = self.cfg
+        present = dd.user_hist_size > 0
+        dual = jnp.where(present,
+                         (state.user_loss - state.xi >= 0.0).astype(
+                             jnp.float32),
+                         state.dual_weight)
+        u_prev = state.user_emb
+        u = self._grad_step_u(state.user_emb, state.item_emb,
+                              state.item_gramian, dd.by_user, dual)
+        # StepV uses the pre-update user embeddings (cvar_mf.h:282-295).
+        v = self._grad_step_v(state.item_emb, u_prev, dd, dual)
+        gram = v.T @ v
+        loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
+                                  cfg.uobs_weight, halve=True)
+        xi = quantile.exact_quantile(loss, cfg.alpha)
+        return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
+                             user_loss=loss, dual_weight=dual, xi=xi)
+
+    def initialize(self, dd: DeviceData) -> None:
+        """Pre-compute losses (reference cvar_mf.h:710-726)."""
+        @jax.jit
+        def _init(state: MFState):
+            loss = common.user_losses(
+                state.user_emb, state.item_emb, state.item_gramian,
+                dd.by_user, dd.num_users, self.cfg.uobs_weight, halve=True)
+            return state.replace(user_loss=loss)
+
+        self.state = _init(self.state)
+
+    def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
+        """Closed-form fold-in with weight 1 (reference cvar_mf.h:644-692:
+        StepU_eval -> ProjectU_eval Cholesky solve)."""
+        cfg = self.cfg
+        ue = jnp.zeros((fold.n_pad, cfg.dim), jnp.float32)
+        reg = self._user_reg()
+        for b in fold.by_user:
+            a, rhs = common.assemble_weighted_mean(
+                state.item_emb, state.item_gramian, b,
+                jnp.full((b.n_rows,), reg, jnp.float32),
+                cfg.uobs_weight, jnp.ones((b.n_rows,), jnp.float32))
+            from safer2_recommender_tpu.ops import solve as solve_lib
+            x = solve_lib.cholesky_solve(a, rhs)
+            ue = assemble.scatter_rows(ue, b.row_ids, x)
+        return ue

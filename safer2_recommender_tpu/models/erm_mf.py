@@ -1,0 +1,96 @@
+"""ERM-MF: the risk-neutral baseline of SAFER2.
+
+Capability parity with reference include/frecsys/erm_mf.h
+(ERMMFRecommender): per-user *mean* squared loss, constant dual weight
+alpha, exact alternating solves with a dual-weighted item-side Gramian
+(erm_mf.h:462-467), and the SAFER-family regularizers:
+
+  user: reg * (1 + uobs * num_items)                (erm_mf.h:384-387)
+  item: reg * (item_reg_v + alpha * uobs * num_users)  (erm_mf.h:389-395)
+    with item_reg_v = sum_{u in H_v} 1 / |H_u|      (erm_mf.h:580-586)
+
+Epoch = StepU (weight alpha, cached Gramian), StepV, refresh V^T V,
+per-user losses (erm_mf.h:257-301).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
+from safer2_recommender_tpu.models import common
+from safer2_recommender_tpu.models.base import MFState, Recommender
+from safer2_recommender_tpu.ops import assemble
+
+
+class ERMMF(Recommender):
+    name = "erm_mf"
+
+    def _user_reg(self) -> float:
+        return self.cfg.l2_reg * (1.0 + self.cfg.uobs_weight
+                                  * self.num_items)
+
+    def _item_reg(self, item_reg_vec, row_ids) -> jax.Array:
+        stat = item_reg_vec[jnp.minimum(row_ids, item_reg_vec.shape[0] - 1)]
+        return self.cfg.l2_reg * (
+            stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
+
+    def _step_u(self, ue, item_emb, gramian, buckets, dual):
+        cfg = self.cfg
+        reg = self._user_reg()
+        for b in buckets:
+            w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
+            x = common.solve_rows_weighted_mean(
+                item_emb, gramian, b,
+                jnp.full((b.n_rows,), reg, jnp.float32),
+                cfg.uobs_weight, w, use_cg=cfg.use_cg,
+                cg_tol=cfg.cg_error_tolerance,
+                cg_iters=cfg.cg_max_iterations)
+            ue = assemble.scatter_rows(ue, b.row_ids, x)
+        return ue
+
+    def _step_v(self, v, user_emb, dd: DeviceData, dual):
+        cfg = self.cfg
+        # Weighted Gramian U^T diag(z) U over *all* rows incl. id gaps
+        # (erm_mf.h:462-467 uses the full table).
+        w_gram = user_emb.T @ (user_emb * dual[:, None])
+        norm_dual = jnp.where(dd.user_hist_size > 0,
+                              dual / jnp.maximum(dd.user_hist_size, 1.0),
+                              0.0)
+        for b in dd.by_item:
+            reg = self._item_reg(dd.item_reg, b.row_ids)
+            x = common.solve_rows_weighted_item(
+                user_emb, w_gram, b, reg, cfg.uobs_weight, norm_dual,
+                use_cg=cfg.use_cg, cg_tol=cfg.cg_error_tolerance,
+                cg_iters=cfg.cg_max_iterations)
+            v = assemble.scatter_rows(v, b.row_ids, x)
+        return v
+
+    def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
+        u = self._step_u(state.user_emb, state.item_emb,
+                         state.item_gramian, dd.by_user,
+                         state.dual_weight)
+        v = self._step_v(state.item_emb, u, dd, state.dual_weight)
+        gram = v.T @ v
+        loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
+                                  self.cfg.uobs_weight, halve=True)
+        return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
+                             user_loss=loss)
+
+    def initialize(self, dd: DeviceData) -> None:
+        """Pre-compute losses (reference erm_mf.h:573-587; history sizes
+        and item_reg live in DeviceData)."""
+        loss = jax.jit(common.user_losses, static_argnames=(
+            "num_users", "uobs", "halve"))(
+            self.state.user_emb, self.state.item_emb,
+            self.state.item_gramian, dd.by_user,
+            num_users=dd.num_users, uobs=self.cfg.uobs_weight, halve=True)
+        self.state = self.state.replace(user_loss=loss)
+
+    def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
+        """StepU with weight 1.0 (reference erm_mf.h:234-244)."""
+        ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
+        ones = jnp.ones((fold.n_pad,), jnp.float32)
+        return self._step_u(ue, state.item_emb, state.item_gramian,
+                            fold.by_user, ones)

@@ -1,0 +1,56 @@
+"""iALS: implicit alternating least squares.
+
+Capability parity with reference include/frecsys/ials.h (IALSRecommender):
+exact alternating solves with frequency-scaled regularization
+reg*(|H| + uobs*n)^exp (ials.h:310-315) and Gramian-based unobserved term.
+One epoch = user sweep, item sweep, loss computation (ials.h:187-224).
+
+TPU design: each sweep is `for bucket: batched assemble + Cholesky`,
+with the global Gramian computed once as a full-table matmul (ials.h:321).
+Note iALS's per-user loss has no /2, unlike the other five models
+(ials.h:70-86; SURVEY.md section 5 quirk 2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
+from safer2_recommender_tpu.models import common
+from safer2_recommender_tpu.models.base import MFState, Recommender
+from safer2_recommender_tpu.ops import assemble
+
+
+class IALS(Recommender):
+    name = "ials"
+
+    def _sweep(self, table_self, table_other, buckets, num_choices):
+        cfg = self.cfg
+        gram = (table_other.T @ table_other).astype(jnp.float32)
+        for b in buckets:
+            reg = common.ials_reg(b.length, num_choices, cfg.l2_reg,
+                                  cfg.l2_reg_exp, cfg.uobs_weight)
+            x = common.solve_rows_ials(
+                table_other, gram, b, reg, cfg.uobs_weight,
+                use_cg=cfg.use_cg, cg_tol=cfg.cg_error_tolerance,
+                cg_iters=cfg.cg_max_iterations)
+            table_self = assemble.scatter_rows(table_self, b.row_ids, x)
+        return table_self
+
+    def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
+        u = self._sweep(state.user_emb, state.item_emb, dd.by_user,
+                        dd.num_items)
+        v = self._sweep(state.item_emb, u, dd.by_item, dd.num_users)
+        gram = v.T @ v
+        loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
+                                  self.cfg.uobs_weight, halve=False)
+        return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
+                             user_loss=loss)
+
+    def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
+        """One exact re-projection of the held-out users
+        (reference ials.h:169-174)."""
+        ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
+        return self._sweep(ue, state.item_emb, fold.by_user,
+                           self.num_items)

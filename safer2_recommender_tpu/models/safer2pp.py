@@ -1,0 +1,158 @@
+"""SAFER2++: SAFER2 fused with iALS++-style block coordinate descent.
+
+Capability parity with reference include/frecsys/safer2pp.h
+(SAFER2ppRecommender): blockwise delta solves with a flat
+prediction/residual cache, a fully vectorized z-step, cache-based loss
+computation, and SAFER2's xi machinery:
+
+  user block : A = w (sum v_loc v_loc^T / |H| + uobs G_loc) + reg I
+               rhs = (w/|H|) sum v_loc (pred-1) + w uobs G_lg u + reg u_loc
+               (safer2pp.h:97-159)
+  item block : raw-dual-weighted local Gramians (safer2pp.h:532-544),
+               wt = z/|H_u| residual rhs (safer2pp.h:161-216)
+  z-step     : vectorized over the whole dual vector (safer2pp.h:839-862 —
+               unlike SAFER2, id gaps are updated too)
+  loss       : from the prediction cache (safer2pp.h:611-652)
+  train      : predict, pd x {z, blocks x {U, V}}, V^T V, loss, xi
+               (safer2pp.h:288-355)
+  eval       : 8 blockwise fold-in epochs with weight 1 (safer2pp.h:220-286)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
+from safer2_recommender_tpu.models import common
+from safer2_recommender_tpu.models.base import MFState, Recommender
+from safer2_recommender_tpu.ops import assemble, quantile, smoothing
+
+
+class SAFER2pp(Recommender):
+    name = "safer2pp"
+
+    def _blocks(self):
+        d, bs = self.cfg.dim, self.cfg.block_size
+        return [(s, min(s + bs, d)) for s in range(0, d, bs)]
+
+    def _user_reg(self) -> float:
+        return self.cfg.l2_reg * (1.0 + self.cfg.uobs_weight
+                                  * self.num_items)
+
+    def _item_reg(self, item_reg_vec, row_ids) -> jax.Array:
+        stat = item_reg_vec[jnp.minimum(row_ids, item_reg_vec.shape[0] - 1)]
+        return self.cfg.l2_reg * (
+            stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
+
+    def _block_sweep_u(self, u, v, pred, buckets, s, e, dual):
+        cfg = self.cfg
+        v_loc = v[:, s:e]
+        g_loc = v_loc.T @ v_loc
+        g_lg = v_loc.T @ v
+        reg = self._user_reg()
+        for b in buckets:
+            w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
+            new_loc, pred_delta = common.block_rows_user_safer(
+                u, v_loc, pred, b, s, e, g_loc, g_lg,
+                jnp.full((b.n_rows,), reg, jnp.float32),
+                cfg.uobs_weight, w)
+            pred = assemble.scatter_pred_update(pred, b, pred_delta,
+                                                add=True)
+            u = common.write_block(u, b, s, e, new_loc)
+        return u, pred
+
+    def _block_sweep_v(self, v, u, pred, dd: DeviceData, s, e, dual):
+        cfg = self.cfg
+        u_loc = u[:, s:e]
+        u_loc_w = u_loc * dual[:, None]
+        g_loc_w = u_loc_w.T @ u_loc
+        g_lg_w = u_loc_w.T @ u
+        norm_dual = jnp.where(dd.user_hist_size > 0,
+                              dual / jnp.maximum(dd.user_hist_size, 1.0),
+                              0.0)
+        for b in dd.by_item:
+            reg = self._item_reg(dd.item_reg, b.row_ids)
+            new_loc, pred_delta = common.block_rows_item_safer(
+                v, u_loc, pred, b, s, e, g_loc_w, g_lg_w, reg,
+                cfg.uobs_weight, norm_dual)
+            pred = assemble.scatter_pred_update(pred, b, pred_delta,
+                                                add=True)
+            v = common.write_block(v, b, s, e, new_loc)
+        return v, pred
+
+    def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
+        cfg = self.cfg
+        u, v = state.user_emb, state.item_emb
+        loss, dual = state.user_loss, state.dual_weight
+        pred = common.predict_all(u, v, dd.by_user, dd.nnz)
+        gram = state.item_gramian
+        for _ in range(cfg.pd_iterations):
+            # Vectorized z-step over the full dual vector
+            # (safer2pp.h:839-862).
+            dual = smoothing.dual_weight(loss, state.xi, cfg.bandwidth,
+                                         cfg.use_epanechnikov)
+            for (s, e) in self._blocks():
+                u, pred = self._block_sweep_u(u, v, pred, dd.by_user,
+                                              s, e, dual)
+                v, pred = self._block_sweep_v(v, u, pred, dd, s, e, dual)
+            gram = v.T @ v
+            loss = common.user_losses(u, v, gram, dd.by_user,
+                                      dd.num_users, cfg.uobs_weight,
+                                      halve=True, pred=pred)
+        key, sub = jax.random.split(state.key)
+        xi = quantile.compute_xi(
+            loss, state.xi, sub, nr_iterations=cfg.xi_iterations,
+            bandwidth=cfg.bandwidth, alpha=cfg.alpha,
+            use_epanechnikov=cfg.use_epanechnikov, use_snr=cfg.use_snr,
+            sampling_ratio=cfg.sampling_ratio)
+        return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
+                             user_loss=loss, dual_weight=dual, xi=xi,
+                             key=key)
+
+    def initialize(self, dd: DeviceData) -> None:
+        """Predict, losses from cache, xi warm start
+        (reference safer2pp.h:885-912)."""
+        @jax.jit
+        def _init(state: MFState):
+            pred = common.predict_all(state.user_emb, state.item_emb,
+                                      dd.by_user, dd.nnz)
+            loss = common.user_losses(
+                state.user_emb, state.item_emb, state.item_gramian,
+                dd.by_user, dd.num_users, self.cfg.uobs_weight,
+                halve=True, pred=pred)
+            key, sub = jax.random.split(state.key)
+            xi = quantile.compute_xi(
+                loss, jnp.mean(loss), sub,
+                nr_iterations=self.cfg.xi_iterations,
+                bandwidth=self.cfg.bandwidth, alpha=self.cfg.alpha,
+                use_epanechnikov=self.cfg.use_epanechnikov,
+                use_snr=self.cfg.use_snr,
+                sampling_ratio=self.cfg.sampling_ratio)
+            return state.replace(user_loss=loss, xi=xi, key=key)
+
+        self.state = _init(self.state)
+
+    def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
+        """8 blockwise fold-in epochs with weight 1
+        (reference safer2pp.h:220-286)."""
+        v = state.item_emb
+        ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
+        ones = jnp.ones((fold.n_pad,), jnp.float32)
+        for _ in range(self.cfg.eval_fold_in_epochs):
+            pred = common.predict_all(ue, v, fold.by_user, fold.nnz)
+            for (s, e) in self._blocks():
+                v_loc = v[:, s:e]
+                g_loc = v_loc.T @ v_loc
+                g_lg = v_loc.T @ v
+                reg = self._user_reg()
+                for b in fold.by_user:
+                    new_loc, pred_delta = common.block_rows_user_safer(
+                        ue, v_loc, pred, b, s, e, g_loc, g_lg,
+                        jnp.full((b.n_rows,), reg, jnp.float32),
+                        self.cfg.uobs_weight,
+                        ones[jnp.minimum(b.row_ids, fold.n_pad - 1)])
+                    pred = assemble.scatter_pred_update(
+                        pred, b, pred_delta, add=True)
+                    ue = common.write_block(ue, b, s, e, new_loc)
+        return ue

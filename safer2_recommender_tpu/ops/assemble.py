@@ -1,0 +1,112 @@
+"""Normal-equation assembly over padded buckets.
+
+This module replaces the reference's per-user streaming rank-128 updates
+(reference ials.h:107-131: ``matrix_symm.rankUpdate(factor_batch)`` inside
+a thread-pool loop) with *batched* MXU work: for a bucket of N rows whose
+histories are padded to L columns,
+
+    A_hist[n] = sum_{l < len(n)} v_{n,l} v_{n,l}^T
+             == einsum('nld,nle->nde', Vh, Vh)        (one batched matmul)
+
+The reference's tail-batch rankUpdate bug in three ProjectV variants
+(safer2.h:203, erm_mf.h:190, cvar_mf.h:172 update the full 128-wide batch
+including stale columns) is *not* reproduced: a vectorized masked einsum
+has no tail, so we implement the correct math (see SURVEY.md section 5
+quirk 1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from safer2_recommender_tpu.data.dataset import Bucket
+
+
+def history_mask(bucket: Bucket) -> jax.Array:
+    """[N, L] float32 mask of valid (non-padding) history slots."""
+    n, l = bucket.col_ids.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+    return (pos < bucket.length[:, None]).astype(jnp.float32)
+
+
+def gather_history(table: jax.Array, bucket: Bucket,
+                   dtype=None) -> Tuple[jax.Array, jax.Array]:
+    """Gather the other-side embedding rows for each history slot.
+
+    Returns (emb [N, L, d] *already masked*, mask [N, L]).
+    """
+    mask = history_mask(bucket)
+    emb = table[bucket.col_ids] * mask[..., None]
+    if dtype is not None:
+        emb = emb.astype(dtype)
+    return emb, mask
+
+
+def row_gramians(emb: jax.Array, col_weight: Optional[jax.Array] = None,
+                 out_dtype=jnp.float32) -> jax.Array:
+    """Batched sum of outer products: [N, L, d] -> [N, d, d].
+
+    ``col_weight`` ([N, L]) applies per-interaction weights w (the
+    reference multiplies factors by sqrt(w) before rankUpdate,
+    safer2.h:192; weighting one einsum operand is the same quadratic
+    form without the sqrt round-trip).
+    """
+    lhs = emb if col_weight is None else emb * col_weight[..., None]
+    return jnp.einsum("nld,nle->nde", lhs, emb,
+                      preferred_element_type=out_dtype)
+
+
+def row_sums(emb: jax.Array, col_weight: Optional[jax.Array] = None,
+             out_dtype=jnp.float32) -> jax.Array:
+    """Batched rhs accumulation: [N, L, d] -> [N, d]."""
+    lhs = emb if col_weight is None else emb * col_weight[..., None]
+    return jnp.sum(lhs, axis=1).astype(out_dtype)
+
+
+def add_ridge(a: jax.Array, reg: jax.Array) -> jax.Array:
+    """A += reg * I for a batch: a [N, d, d], reg [N] (or scalar)."""
+    d = a.shape[-1]
+    eye = jnp.eye(d, dtype=a.dtype)
+    reg = jnp.asarray(reg, dtype=a.dtype)
+    if reg.ndim == 0:
+        return a + reg * eye
+    return a + reg[:, None, None] * eye
+
+
+def scatter_rows(table: jax.Array, row_ids: jax.Array,
+                 values: jax.Array) -> jax.Array:
+    """Write solved rows back; padded row_ids are out of bounds -> dropped.
+
+    Replaces the reference's mutex-guarded ``get_user_embedding_ref(u) =
+    new_user_emb`` write-back (ials.h:352-354).
+    """
+    return table.at[row_ids].set(values.astype(table.dtype), mode="drop")
+
+
+def scatter_vector(vec: jax.Array, row_ids: jax.Array,
+                   values: jax.Array) -> jax.Array:
+    return vec.at[row_ids].set(values.astype(vec.dtype), mode="drop")
+
+
+def gather_pred(pred: jax.Array, bucket: Bucket, mask: jax.Array
+                ) -> jax.Array:
+    """Prediction-cache gather for the bucket's tuples: [N, L] (masked)."""
+    return pred[jnp.minimum(bucket.tuple_idx, pred.shape[0] - 1)] * mask
+
+
+def scatter_pred_update(pred: jax.Array, bucket: Bucket,
+                        values: jax.Array, *, add: bool) -> jax.Array:
+    """Write/accumulate per-tuple values into the flat prediction cache.
+
+    Padded slots carry tuple_idx == nnz (out of bounds) and are dropped —
+    this is the exact-math replacement for the reference's lock-free
+    racy cache updates (ialspp.h:399-406, safer2pp.h:504-508).
+    """
+    if add:
+        return pred.at[bucket.tuple_idx.reshape(-1)].add(
+            values.reshape(-1), mode="drop")
+    return pred.at[bucket.tuple_idx.reshape(-1)].set(
+        values.reshape(-1), mode="drop")

@@ -1,0 +1,69 @@
+"""Device mesh and sharding helpers.
+
+The reference has **no** communication backend — its "parallel runtime" is a
+POSIX-thread work queue with a mutex-guarded iterator copy-pasted into every
+model (e.g. reference ials.h:326-361, safer2.h:445-490). The TPU-native
+replacement is SPMD over a 1-D `jax.sharding.Mesh`:
+
+  * axis "data": users (or items) rows. All per-row independent work — the
+    normal-equation assembly einsums, the batched Cholesky solves, the
+    per-user loss/dual computations, and evaluation scoring — shards over
+    this axis.
+  * d x d Gramians and quantile statistics are tiny and latency-bound;
+    XLA inserts `psum`-style all-reduces over ICI for them automatically
+    when the batch inputs are sharded and the outputs are replicated.
+
+Single-device execution degrades to no-ops: every helper accepts
+``mesh=None`` and then simply places arrays on the default device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def get_mesh(devices: Optional[Sequence[Any]] = None,
+             axis_name: str = DATA_AXIS) -> Mesh:
+    """Build a 1-D mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def row_sharding(mesh: Optional[Mesh], ndim: int,
+                 axis_name: str = DATA_AXIS) -> Optional[NamedSharding]:
+    """Sharding that splits the leading (row) axis over the mesh."""
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Optional[Mesh]) -> Optional[NamedSharding]:
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P())
+
+
+def put(x, sharding):
+    """device_put honoring ``sharding=None`` (single-device)."""
+    if sharding is None:
+        return jax.device_put(x)
+    return jax.device_put(x, sharding)
+
+
+def shard_pytree_rows(tree, mesh: Optional[Mesh]):
+    """Shard every array leaf of a pytree along its leading axis."""
+    if mesh is None:
+        return jax.device_put(tree)
+    return jax.tree_util.tree_map(
+        lambda x: put(x, row_sharding(mesh, np.ndim(x))), tree)
+
+
+def num_shards(mesh: Optional[Mesh]) -> int:
+    return 1 if mesh is None else int(np.prod(list(mesh.shape.values())))

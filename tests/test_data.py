@@ -1,0 +1,81 @@
+"""Data-layer invariants: the bucketed layout must reproduce the COO set."""
+
+import numpy as np
+
+from safer2_recommender_tpu import Dataset, DeviceData, FoldInData
+
+
+def _pairs_from_buckets(buckets, nnz):
+    """Recover (row, col, tuple_idx) triples from padded buckets."""
+    rows, cols, tidx = [], [], []
+    for b in buckets:
+        r = np.asarray(b.row_ids)
+        c = np.asarray(b.col_ids)
+        t = np.asarray(b.tuple_idx)
+        ln = np.asarray(b.length)
+        for k in range(r.shape[0]):
+            if ln[k] == 0:
+                continue
+            rows.extend([r[k]] * int(ln[k]))
+            cols.extend(c[k, : ln[k]])
+            tidx.extend(t[k, : ln[k]])
+    return np.array(rows), np.array(cols), np.array(tidx)
+
+
+def test_roundtrip(tiny):
+    ds, dd = tiny
+    rows, cols, tidx = _pairs_from_buckets(dd.by_user, ds.nnz)
+    assert len(rows) == ds.nnz
+    # tuple_idx must map back to the original COO entries
+    assert np.array_equal(ds.user_ids[tidx], rows)
+    assert np.array_equal(ds.item_ids[tidx], cols)
+    assert len(np.unique(tidx)) == ds.nnz
+
+    rows_i, cols_i, tidx_i = _pairs_from_buckets(dd.by_item, ds.nnz)
+    assert np.array_equal(ds.item_ids[tidx_i], rows_i)
+    assert np.array_equal(ds.user_ids[tidx_i], cols_i)
+
+
+def test_hist_and_reg_stats(tiny):
+    ds, dd = tiny
+    uh = np.zeros(ds.num_users)
+    np.add.at(uh, ds.user_ids, 1)
+    assert np.array_equal(np.asarray(dd.user_hist_size), uh)
+    # item_reg = sum over the item's users of 1/|H_u| (safer2.h:831-837)
+    ireg = np.zeros(ds.num_items)
+    for u, i in zip(ds.user_ids, ds.item_ids):
+        ireg[i] += 1.0 / uh[u]
+    np.testing.assert_allclose(np.asarray(dd.item_reg), ireg, rtol=1e-5)
+
+
+def test_padding_sentinels(tiny):
+    ds, dd = tiny
+    for b in dd.by_user:
+        r = np.asarray(b.row_ids)
+        ln = np.asarray(b.length)
+        t = np.asarray(b.tuple_idx)
+        assert np.all(r[ln == 0] == dd.num_users)
+        # padded column slots point out of bounds (dropped by scatters)
+        n, width = t.shape
+        pos = np.arange(width)[None, :]
+        pad_mask = pos >= ln[:, None]
+        assert np.all(t[pad_mask] == ds.nnz)
+
+
+def test_fold_in_data(tiny):
+    ds, _ = tiny
+    # use one half as "tr", other half as "te"
+    half = ds.nnz // 2
+    tr = Dataset(ds.user_ids[:half], ds.item_ids[:half])
+    te = Dataset(ds.user_ids[half:], ds.item_ids[half:])
+    fold = FoldInData.build(tr, te, num_items=ds.num_items)
+    uniq = np.unique(tr.user_ids)
+    assert fold.n_eval == uniq.size
+    gt = np.asarray(fold.gt)
+    gt_len = np.asarray(fold.gt_len)
+    # ground truth rows must match te restricted to tr users
+    for row in range(min(fold.n_eval, 20)):
+        uid = uniq[row]
+        expected = np.sort(te.item_ids[te.user_ids == uid])
+        got = np.sort(gt[row, : gt_len[row]])
+        assert np.array_equal(got, expected)

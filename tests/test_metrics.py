@@ -1,0 +1,64 @@
+"""Metric-engine tests against hand-computed cases (the behavioral
+contract of reference recommender.h:132-199 and evaluation.h:83-102)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from safer2_recommender_tpu.evaluation.metrics import metric_cvar, topk_metrics
+
+
+def test_topk_metrics_hand_case():
+    num_items = 10
+    # one user: scores rank items [9, 8, 7, ..., 0]
+    scores = jnp.asarray(np.arange(10, dtype=np.float32)[None, :])
+    # exclude item 9 -> effective ranking [8, 7, 6, ...]
+    excl = jnp.asarray([[9, num_items]], dtype=jnp.int32)
+    # ground truth: items 8 and 5 -> hits at ranks 0 and 3 (0-based)
+    gt = jnp.asarray([[8, 5, num_items]], dtype=jnp.int32)
+    gt_len = jnp.asarray([2], dtype=jnp.int32)
+    k_list = (1, 2, 5)
+    rec, ndcg = topk_metrics(scores, excl, gt, gt_len, k_list)
+    rec, ndcg = np.asarray(rec)[0], np.asarray(ndcg)[0]
+
+    # Recall@k = hits / min(k, |gt|)  (recommender.h:156-165)
+    assert rec[0] == 1.0 / 1.0          # @1: hit 8, min(1,2)=1
+    assert rec[1] == 1.0 / 2.0          # @2: one hit of two
+    assert rec[2] == 2.0 / 2.0          # @5: both
+
+    g = lambda i: 1.0 / math.log2(i + 2.0)
+    # NDCG@k = DCG / ideal-DCG(min(k,|gt|)) (recommender.h:167-181)
+    assert np.isclose(ndcg[0], g(0) / g(0))
+    assert np.isclose(ndcg[1], g(0) / (g(0) + g(1)))
+    assert np.isclose(ndcg[2], (g(0) + g(3)) / (g(0) + g(1)))
+
+
+def test_topk_tie_break_by_index():
+    # equal scores: lower item index must win (nth_element + stable_sort
+    # over iota order, recommender.h:143-153)
+    num_items = 6
+    scores = jnp.asarray([[1.0, 1.0, 1.0, 1.0, 1.0, 1.0]])
+    excl = jnp.asarray([[num_items]], dtype=jnp.int32)
+    gt = jnp.asarray([[0, 1]], dtype=jnp.int32)
+    gt_len = jnp.asarray([2], dtype=jnp.int32)
+    rec, _ = topk_metrics(scores, excl, gt, gt_len, (2,))
+    assert np.asarray(rec)[0, 0] == 1.0
+
+
+def test_metric_cvar_reference_semantics():
+    # evaluation.h:83-102: cvar[j] = mean(sorted[0..floor(n*alpha_j)])
+    vals = np.array([0.5, 0.1, 0.9, 0.3, 0.7], dtype=np.float32)
+    alphas = (0.2, 0.5, 0.9)
+    got = metric_cvar(vals, alphas)
+    s = np.sort(vals)
+    want = [s[: int(5 * a) + 1].mean() for a in alphas]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_metric_cvar_is_lower_tail_mean():
+    rng = np.random.default_rng(0)
+    vals = rng.uniform(size=1000).astype(np.float32)
+    got = metric_cvar(vals, (0.1,))[0]
+    s = np.sort(vals)
+    assert np.isclose(got, s[:101].mean(), rtol=1e-5)

@@ -1,0 +1,99 @@
+"""End-metric quality gates on the bundled ML-1M split.
+
+These mirror the reference's integration tests (reference
+tests/*_test.cc): dim=8, 10 training epochs (CVaR-MF: 50), then assert
+
+  * mean NDCG@20 >= 0.2   (ials_test.cc:45, safer2_test.cc:99, ...)
+  * SAFER2/SAFER2++ mean dual weight == alpha +/- 0.02 after every epoch
+    (safer2_test.cc:135, safer2pp_test.cc:135)
+"""
+
+import pytest
+
+from safer2_recommender_tpu import Config, get_model
+
+K_LIST = (5, 10, 20, 50, 100)
+NDCG20_IDX = 2
+
+
+def _train_and_eval(name, cfg, ml1m, epochs, check_mean_weight=None):
+    train, dd, fold = ml1m
+    model = get_model(name, cfg, train.num_users, train.num_items)
+    model.initialize(dd)
+    for _ in range(epochs):
+        model.train_epoch(dd)
+        if check_mean_weight is not None:
+            assert model.get_mean_weight() == pytest.approx(
+                check_mean_weight, abs=0.02)
+    res = model.evaluate_dataset(fold, k_list=K_LIST)
+    return res.mean_ndcg()[NDCG20_IDX], model
+
+
+# Hyperparameters from the reference tests (safer2_test.cc:17-27,
+# ials_test.cc fixtures).
+_SAFER_CFG = dict(dim=8, uobs_weight=0.004, l2_reg=0.004, stdev=0.1,
+                  alpha=0.3, bandwidth=0.15, xi_iterations=5,
+                  pd_iterations=1)
+
+
+def test_ials_ml1m(ml1m):
+    # ials_test.cc: uobs 0.1, reg 0.003
+    cfg = Config(dim=8, uobs_weight=0.1, l2_reg=0.003, l2_reg_exp=1.0,
+                 stdev=0.1)
+    ndcg20, _ = _train_and_eval("ials", cfg, ml1m, epochs=10)
+    assert ndcg20 >= 0.2
+
+
+def test_ialspp_ml1m(ml1m):
+    # ialspp_test.cc: uobs 0.1, reg 0.003
+    cfg = Config(dim=8, uobs_weight=0.1, l2_reg=0.003, l2_reg_exp=1.0,
+                 stdev=0.1, block_size=4)
+    ndcg20, _ = _train_and_eval("ialspp", cfg, ml1m, epochs=10)
+    assert ndcg20 >= 0.2
+
+
+def test_erm_mf_ml1m(ml1m):
+    # erm_mf_test.cc: uobs 0.004, reg 0.005
+    cfg = Config(dim=8, uobs_weight=0.004, l2_reg=0.005, stdev=0.1,
+                 alpha=0.3)
+    ndcg20, _ = _train_and_eval("erm_mf", cfg, ml1m, epochs=10)
+    assert ndcg20 >= 0.2
+
+
+def test_cvar_mf_ml1m(ml1m):
+    # cvar_mf_test.cc:17-25: uobs 0.008, reg 0.002, stepsize 0.4, 50 epochs
+    cfg = Config(dim=8, uobs_weight=0.008, l2_reg=0.002, stdev=0.1,
+                 alpha=0.3, stepsize=0.4)
+    ndcg20, _ = _train_and_eval("cvar_mf", cfg, ml1m, epochs=50)
+    assert ndcg20 >= 0.2
+
+
+def test_safer2_ml1m(ml1m):
+    cfg = Config(**_SAFER_CFG)
+    ndcg20, _ = _train_and_eval("safer2", cfg, ml1m, epochs=10,
+                                check_mean_weight=0.3)
+    assert ndcg20 >= 0.2
+
+
+def test_safer2_snr_ml1m(ml1m):
+    # SNR variant: sampling ratio 0.5 (safer2_test.cc:37-61)
+    cfg = Config(**_SAFER_CFG, use_snr=True, sampling_ratio=0.5)
+    ndcg20, _ = _train_and_eval("safer2", cfg, ml1m, epochs=10,
+                                check_mean_weight=0.3)
+    assert ndcg20 >= 0.2
+
+
+def test_safer2_epanechnikov_ml1m(ml1m):
+    # Epanechnikov kernel, bandwidth 0.7 (safer2_test.cc:63-86)
+    cfg = Config(**{**_SAFER_CFG, "bandwidth": 0.7},
+                 use_epanechnikov=True)
+    ndcg20, _ = _train_and_eval("safer2", cfg, ml1m, epochs=10,
+                                check_mean_weight=0.3)
+    assert ndcg20 >= 0.2
+
+
+def test_safer2pp_ml1m(ml1m):
+    cfg = Config(**_SAFER_CFG, block_size=4)
+    ndcg20, _ = _train_and_eval("safer2pp", cfg, ml1m, epochs=10,
+                                check_mean_weight=0.3)
+    assert ndcg20 >= 0.2

@@ -1,0 +1,53 @@
+"""Multi-device SPMD tests (a capability the reference never had —
+its parallelism is pthread-only, SURVEY.md section 2 P7).
+
+Runs the full SAFER2 training step over an 8-device CPU mesh with bucket
+rows sharded on the "data" axis and checks numerical agreement with the
+unsharded run.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from safer2_recommender_tpu import Config, DeviceData, get_model
+from safer2_recommender_tpu.parallel import get_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if jax.device_count() < 2:
+        pytest.skip("needs >= 2 devices")
+    return get_mesh()
+
+
+@pytest.mark.parametrize("name", ["ials", "safer2", "safer2pp"])
+def test_sharded_epoch_matches_single_device(tiny, mesh, name):
+    ds, _ = tiny
+    cfg = Config(dim=8, block_size=4)
+
+    dd_single = DeviceData.build(ds)
+    dd_sharded = DeviceData.build(ds, mesh=mesh)
+
+    m1 = get_model(name, cfg, ds.num_users, ds.num_items)
+    m1.initialize(dd_single)
+    m1.train_epoch(dd_single)
+
+    m2 = get_model(name, cfg, ds.num_users, ds.num_items, mesh=mesh)
+    m2.initialize(dd_sharded)
+    m2.train_epoch(dd_sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(m1.state.user_emb), np.asarray(m2.state.user_emb),
+        rtol=5e-3, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(m1.state.user_loss), np.asarray(m2.state.user_loss),
+        rtol=5e-3, atol=5e-5)
+
+
+def test_sharded_bucket_row_counts_divisible(tiny, mesh):
+    ds, _ = tiny
+    dd = DeviceData.build(ds, mesh=mesh)
+    n_dev = jax.device_count()
+    for b in dd.by_user + dd.by_item:
+        assert b.row_ids.shape[0] % n_dev == 0

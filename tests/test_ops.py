@@ -1,0 +1,150 @@
+"""Unit tests for the ops layer: kernels, solvers, quantile machinery."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safer2_recommender_tpu.ops import quantile, smoothing, solve
+
+
+# ---- smoothing kernels (value parity with reference safer2.h:599-647) ----
+
+
+def _gaussian_kernel_ref(u, h):
+    return (2 * math.pi) ** -0.5 * math.exp(-((u / h) * 0.5 ** 0.5) ** 2) / h
+
+
+def _gaussian_cdf_ref(u, h):
+    return 0.5 * math.erfc(-(u / h) * 0.5 ** 0.5)
+
+
+@pytest.mark.parametrize("h", [0.15, 0.7, 1.0])
+def test_gaussian_kernel_values(h):
+    us = np.linspace(-3, 3, 25)
+    got_pdf = np.asarray(smoothing.gaussian_kernel(jnp.asarray(us), h))
+    got_cdf = np.asarray(smoothing.gaussian_cdf(jnp.asarray(us), h))
+    want_pdf = [_gaussian_kernel_ref(u, h) for u in us]
+    want_cdf = [_gaussian_cdf_ref(u, h) for u in us]
+    np.testing.assert_allclose(got_pdf, want_pdf, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(got_cdf, want_cdf, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("h", [0.15, 0.7])
+def test_epanechnikov_cdf_properties(h):
+    # CDF limits and symmetry; pdf integrates CDF (numeric check)
+    us = np.linspace(-2 * h, 2 * h, 401)
+    cdf = np.asarray(smoothing.epanechnikov_cdf(jnp.asarray(us), h))
+    pdf = np.asarray(smoothing.epanechnikov_kernel(jnp.asarray(us), h))
+    assert cdf[0] == 0.0 and cdf[-1] == 1.0
+    assert np.all(np.diff(cdf) >= -1e-6)
+    num = np.gradient(cdf, us)
+    np.testing.assert_allclose(num[5:-5], pdf[5:-5], atol=2e-2)
+
+
+def test_gaussian_loss_gradient_consistency():
+    # d/du gaussian_loss(u) should equal (1-alpha) - K_cdf(-u)
+    # (the smoothed pinball loss derivative), checked numerically.
+    h, alpha = 0.5, 0.3
+    us = jnp.linspace(-2.0, 2.0, 11)
+    g = jax.vmap(jax.grad(lambda u: smoothing.gaussian_loss(u, h, alpha)))(us)
+    want = (1 - alpha) - smoothing.gaussian_cdf(-us, h)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+# ---- solvers ----
+
+
+def _random_spd(rng, n, d):
+    m = rng.normal(size=(n, d, d)).astype(np.float32)
+    return m @ m.transpose(0, 2, 1) + 0.5 * np.eye(d, dtype=np.float32)
+
+
+def test_cholesky_solve_matches_numpy():
+    rng = np.random.default_rng(0)
+    a = _random_spd(rng, 16, 12)
+    b = rng.normal(size=(16, 12)).astype(np.float32)
+    x = np.asarray(solve.cholesky_solve(jnp.asarray(a), jnp.asarray(b)))
+    want = np.linalg.solve(a, b[..., None])[..., 0]
+    np.testing.assert_allclose(x, want, rtol=2e-3, atol=2e-4)
+
+
+def test_cg_solve_matches_cholesky():
+    rng = np.random.default_rng(1)
+    a = _random_spd(rng, 8, 10)
+    b = rng.normal(size=(8, 10)).astype(np.float32)
+    x = np.asarray(solve.cg_solve(jnp.asarray(a), jnp.asarray(b),
+                                  max_iters=50))
+    want = np.linalg.solve(a, b[..., None])[..., 0]
+    np.testing.assert_allclose(x, want, rtol=1e-2, atol=1e-3)
+
+
+def test_cholesky_solve_padded_rows_no_nan_leak():
+    # padded rows carry all-zero systems; they must not produce NaNs
+    a = np.zeros((4, 6, 6), dtype=np.float32)
+    a[0] = np.eye(6) * 2
+    b = np.ones((4, 6), dtype=np.float32)
+    x = np.asarray(solve.cholesky_solve(jnp.asarray(a), jnp.asarray(b)))
+    assert np.isfinite(x).all()
+    np.testing.assert_allclose(x[0], 0.5, rtol=1e-6)
+
+
+# ---- quantile / xi machinery ----
+
+
+def test_evaluate_quantile_grad_is_derivative():
+    rng = np.random.default_rng(2)
+    losses = jnp.asarray(rng.normal(1.0, 0.5, 500).astype(np.float32))
+    kw = dict(bandwidth=0.3, alpha=0.3, use_epanechnikov=False)
+
+    def value(xi):
+        return quantile.evaluate_quantile(xi, losses, **kw)[0]
+
+    xi0 = jnp.float32(0.8)
+    _, grad, hess = quantile.evaluate_quantile(xi0, losses, **kw)
+    num_grad = jax.grad(value)(xi0)
+    np.testing.assert_allclose(float(grad), float(num_grad),
+                               rtol=1e-3, atol=1e-4)
+    assert float(hess) > 0
+
+
+def test_compute_xi_converges_to_quantile():
+    # With a tight bandwidth, the smoothed quantile approaches the exact
+    # (1-alpha)-upper quantile of the losses.
+    rng = np.random.default_rng(3)
+    alpha = 0.3
+    losses = jnp.asarray(rng.normal(2.0, 1.0, 4000).astype(np.float32))
+    xi = quantile.compute_xi(
+        losses, jnp.mean(losses), jax.random.PRNGKey(0),
+        nr_iterations=20, bandwidth=0.05, alpha=alpha,
+        use_epanechnikov=False, use_snr=False, sampling_ratio=0.1)
+    want = np.quantile(np.asarray(losses), 1 - alpha)
+    assert abs(float(xi) - want) < 0.05
+
+
+def test_compute_xi_snr_close_to_full():
+    rng = np.random.default_rng(4)
+    losses = jnp.asarray(rng.normal(0.0, 1.0, 4000).astype(np.float32))
+    kw = dict(nr_iterations=10, bandwidth=0.2, alpha=0.3,
+              use_epanechnikov=False)
+    full = quantile.compute_xi(losses, jnp.float32(0.0),
+                               jax.random.PRNGKey(0), use_snr=False,
+                               sampling_ratio=1.0, **kw)
+    snr = quantile.compute_xi(losses, jnp.float32(0.0),
+                              jax.random.PRNGKey(0), use_snr=True,
+                              sampling_ratio=0.5, **kw)
+    assert abs(float(full) - float(snr)) < 0.1
+
+
+def test_exact_quantile_matches_reference_semantics():
+    # reference cvar_mf.h:582-595: xi = the floor(n*alpha)-th largest loss
+    rng = np.random.default_rng(5)
+    losses = rng.normal(size=257).astype(np.float32)
+    alpha = 0.3
+    got = float(quantile.exact_quantile(jnp.asarray(losses), alpha))
+    q = int(len(losses) * alpha)
+    want = np.sort(losses)[::-1][q]
+    assert got == pytest.approx(want)
