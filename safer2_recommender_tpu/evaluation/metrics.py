@@ -37,8 +37,10 @@ def topk_metrics(scores: jax.Array, excl: jax.Array, gt: jax.Array,
     with I, dropped); gt [B, G] ground-truth ids (padded with I); gt_len [B].
     Returns (recall [B, K], ndcg [B, K]).
     """
-    b = scores.shape[0]
-    max_k = int(max(k_list))
+    b, num_items = scores.shape
+    # k beyond the catalog is clamped (the whole catalog is ranked);
+    # the reference never exercises this (its k_list max 100 << items).
+    max_k = min(int(max(k_list)), num_items)
     neg = jnp.finfo(scores.dtype).min
     # Mask training history to float lowest (recommender.h:137-140).
     rows = jnp.broadcast_to(jnp.arange(b)[:, None], excl.shape)
@@ -58,10 +60,11 @@ def topk_metrics(scores: jax.Array, excl: jax.Array, gt: jax.Array,
     gt_f = gt_len.astype(jnp.float32)
     recalls, ndcgs = [], []
     for k in k_list:
+        kk = min(k, max_k)
         denom_r = jnp.minimum(float(k), gt_f)
-        recalls.append(cum_hits[:, k - 1] / jnp.maximum(denom_r, 1.0))
+        recalls.append(cum_hits[:, kk - 1] / jnp.maximum(denom_r, 1.0))
         ideal_idx = jnp.clip(jnp.minimum(k, gt_len) - 1, 0, max_k - 1)
-        ndcgs.append(cum_dcg[:, k - 1] / cum_ideal[ideal_idx])
+        ndcgs.append(cum_dcg[:, kk - 1] / cum_ideal[ideal_idx])
     return jnp.stack(recalls, axis=1), jnp.stack(ndcgs, axis=1)
 
 

@@ -103,13 +103,60 @@ class Recommender:
         (reference safer2.h:819-838)."""
 
     def train_epoch(self, dd: DeviceData) -> None:
+        if self._stats_order == "pre":
+            self._log_train_stats(dd)
+        prev = self.state if self.print_residual_stats else None
         self.state = jax.block_until_ready(self._epoch_jit(self.state, dd))
+        if self._stats_order == "post":
+            self._log_train_stats(dd)
+        self._log_epoch_lines()
         self._log_var_stats()
+        if prev is not None:
+            # Residual norms (reference safer2.h:324-328). Unlike the
+            # reference (which returns 0 for some models' residuals,
+            # e.g. ials.h:363-364), we always report the true norms.
+            ru = float(jnp.linalg.norm(self.state.user_emb - prev.user_emb))
+            rv = float(jnp.linalg.norm(self.state.item_emb - prev.item_emb))
+            rz = float(jnp.linalg.norm(
+                self.state.dual_weight - prev.dual_weight))
+            _log.info("U residual: %s, V residual: %s, z residual: %s",
+                      ru, rv, rz)
 
     # ---- subclass hooks ---------------------------------------------------
 
+    # When the reference model logs its loss decomposition: "pre" = at the
+    # top of Train (safer family, e.g. safer2.h:267), "post" = after the
+    # sweeps (iALS, ials.h:203).
+    _stats_order = "pre"
+
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         raise NotImplementedError
+
+    def _reg_vectors(self, dd: DeviceData):
+        """Per-row regularization values for the stats lines
+        ([num_users], [num_items])."""
+        raise NotImplementedError
+
+    def _log_epoch_lines(self) -> None:
+        """Per-model end-of-epoch log lines (Weighted Loss / Xi / ...)."""
+
+    def _log_train_stats(self, dd: DeviceData) -> None:
+        if not self.print_train_stats:
+            return
+        from safer2_recommender_tpu.models import stats
+        from safer2_recommender_tpu.utils.logging import Timer
+
+        if not hasattr(self, "_stats_jit"):
+            def _impl(state, dd_):
+                ur, ir = self._reg_vectors(dd_)
+                return stats.loss_decomposition(
+                    state.user_emb, state.item_emb, state.user_loss, dd_,
+                    ur, ir, self.cfg.uobs_weight,
+                    loss_is_user_sum=(self._stats_order == "pre"))
+            self._stats_jit = jax.jit(_impl)
+        with Timer() as t:
+            vals = jax.block_until_ready(self._stats_jit(self.state, dd))
+        stats.log_loss_decomposition(vals, dd, t.ms)
 
     def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
         """Return eval-user embeddings [fold.n_pad, dim]."""
@@ -184,3 +231,17 @@ class Recommender:
     def _log_weighted_loss(self) -> None:
         wl = float(jnp.mean(self.state.dual_weight * self.state.user_loss))
         _log.info("Weighted Loss: %s", wl)
+
+
+class SaferFamilyMixin:
+    """Shared SAFER-family regularizers for the stats lines
+    (reference safer2.h:418-432, erm_mf.h:384-395)."""
+
+    def _reg_vectors(self, dd: DeviceData):
+        cfg = self.cfg
+        ur = jnp.full((dd.num_users,),
+                      cfg.l2_reg * (1.0 + cfg.uobs_weight * dd.num_items),
+                      jnp.float32)
+        ir = cfg.l2_reg * (
+            dd.item_reg + cfg.alpha * cfg.uobs_weight * dd.num_users)
+        return ur, ir

@@ -18,12 +18,21 @@ import jax.numpy as jnp
 
 from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
-from safer2_recommender_tpu.models.base import MFState, Recommender
+from safer2_recommender_tpu.models.base import (MFState, Recommender,
+                                                  SaferFamilyMixin)
 from safer2_recommender_tpu.ops import assemble, quantile
 
 
-class CVaRMF(Recommender):
+class CVaRMF(SaferFamilyMixin, Recommender):
     name = "cvar_mf"
+
+    def _log_epoch_lines(self) -> None:
+        # reference cvar_mf.h:301-303, :327-328
+        import logging
+        log = logging.getLogger("safer2_recommender_tpu")
+        self._log_weighted_loss()
+        log.info("Mean weights: %s", self.get_mean_weight())
+        log.info("Xi:%s", float(self.state.xi))
 
     def _user_reg(self) -> float:
         return self.cfg.l2_reg * (1.0 + self.cfg.uobs_weight

@@ -20,12 +20,17 @@ import jax.numpy as jnp
 
 from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
-from safer2_recommender_tpu.models.base import MFState, Recommender
+from safer2_recommender_tpu.models.base import (MFState, Recommender,
+                                                  SaferFamilyMixin)
 from safer2_recommender_tpu.ops import assemble
 
 
-class ERMMF(Recommender):
+class ERMMF(SaferFamilyMixin, Recommender):
     name = "erm_mf"
+
+    def _log_epoch_lines(self) -> None:
+        # reference erm_mf.h:277-278
+        self._log_weighted_loss()
 
     def _user_reg(self) -> float:
         return self.cfg.l2_reg * (1.0 + self.cfg.uobs_weight

@@ -24,6 +24,15 @@ from safer2_recommender_tpu.ops import assemble
 
 class IALS(Recommender):
     name = "ials"
+    _stats_order = "post"
+
+    def _reg_vectors(self, dd: DeviceData):
+        cfg = self.cfg
+        ur = common.ials_reg(dd.user_hist_size, dd.num_items, cfg.l2_reg,
+                             cfg.l2_reg_exp, cfg.uobs_weight)
+        ir = common.ials_reg(dd.item_hist_size, dd.num_users, cfg.l2_reg,
+                             cfg.l2_reg_exp, cfg.uobs_weight)
+        return ur, ir
 
     def _sweep(self, table_self, table_other, buckets, num_choices):
         cfg = self.cfg

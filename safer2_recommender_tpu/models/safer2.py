@@ -25,12 +25,20 @@ import jax.numpy as jnp
 
 from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
-from safer2_recommender_tpu.models.base import MFState, Recommender
+from safer2_recommender_tpu.models.base import (MFState, Recommender,
+                                                  SaferFamilyMixin)
 from safer2_recommender_tpu.ops import assemble, quantile, smoothing
 
 
-class SAFER2(Recommender):
+class SAFER2(SaferFamilyMixin, Recommender):
     name = "safer2"
+
+    def _log_epoch_lines(self) -> None:
+        # reference safer2.h:300-301, :332
+        self._log_weighted_loss()
+        import logging
+        logging.getLogger("safer2_recommender_tpu").info(
+            "Xi:%s", float(self.state.xi))
 
     def _user_reg(self) -> float:
         # reference safer2.h:418-421

@@ -25,12 +25,20 @@ import jax.numpy as jnp
 
 from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
-from safer2_recommender_tpu.models.base import MFState, Recommender
+from safer2_recommender_tpu.models.base import (MFState, Recommender,
+                                                  SaferFamilyMixin)
 from safer2_recommender_tpu.ops import assemble, quantile, smoothing
 
 
-class SAFER2pp(Recommender):
+class SAFER2pp(SaferFamilyMixin, Recommender):
     name = "safer2pp"
+
+    def _log_epoch_lines(self) -> None:
+        # reference safer2pp.h:325-326, :353
+        self._log_weighted_loss()
+        import logging
+        logging.getLogger("safer2_recommender_tpu").info(
+            "Xi:%s", float(self.state.xi))
 
     def _blocks(self):
         d, bs = self.cfg.dim, self.cfg.block_size
