@@ -109,7 +109,9 @@ class Recommender:
         self.state = jax.block_until_ready(self._epoch_jit(self.state, dd))
         if self._stats_order == "post":
             self._log_train_stats(dd)
-        self._log_epoch_lines()
+        if self.print_train_stats or self.print_var_stats:
+            # these lines force a host sync; keep the hot path async
+            self._log_epoch_lines()
         self._log_var_stats()
         if prev is not None:
             # Residual norms (reference safer2.h:324-328). Unlike the
