@@ -1,0 +1,119 @@
+"""Batched SPD solve via recursive block Cholesky inversion.
+
+The TPU-native replacement for the reference's per-row Eigen LLT solves
+(reference ials.h:133-143): one ALS sweep is a batched normal-equation
+solve per user/item bucket, and XLA's built-in batched ``cholesky`` +
+``triangular_solve`` lower to loop-heavy code measured ~3 orders of
+magnitude below the MXU roofline on TPU (0.25 TFLOP/s at [928, 256, 256]
+vs ~160 TFLOP/s for plain batched matmuls on the same chip).
+
+Design: compute ``inv(chol(A))`` by recursive 2x2 blocking,
+
+    L = [[L11, 0], [L21, L22]],
+    inv(L) = [[inv(L11), 0], [-inv(L22) L21 inv(L11), inv(L22)]],
+
+recursing on the halves down to closed-form 2x2 leaves. Every non-leaf
+operation is a large batched MXU matmul; there is no sequential scalar
+loop anywhere, which is what kills both XLA's native lowering (per-column
+while loops) and a Pallas in-kernel ``fori_loop`` formulation (TPU grid
+programs are serial on the single TensorCore, so N/BN * d micro-steps
+dominate). The explicit inverse costs ~3x the FLOPs of a factorization,
+but at MXU rates that is still ~50x faster than the alternatives, and the
+subsequent solves become two batched mat-vecs.
+
+All dots run at ``Precision.HIGHEST``: the default bf16 MXU rounding loses
+~2 decimal digits on the factorization, far above f32 solver error. This
+module is pure XLA and runs identically on CPU (used by the test suite).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _bdot(lhs: jax.Array, rhs: jax.Array, contract) -> jax.Array:
+    return jax.lax.dot_general(
+        lhs, rhs, dimension_numbers=(contract, ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=HIGHEST)
+
+
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _chol_inverse_rec(a: jax.Array) -> jax.Array:
+    """inv(chol(a)) (lower-triangular) for SPD a [N, R, R], R a power of 2."""
+    n, r, _ = a.shape
+    if r == 1:
+        return jax.lax.rsqrt(jnp.maximum(a, 1e-30))
+    if r == 2:
+        a11 = a[:, 0:1, 0:1]
+        a21 = a[:, 1:2, 0:1]
+        a22 = a[:, 1:2, 1:2]
+        i11 = jax.lax.rsqrt(jnp.maximum(a11, 1e-30))
+        l21 = a21 * i11
+        i22 = jax.lax.rsqrt(jnp.maximum(a22 - l21 * l21, 1e-30))
+        i21 = -(i22 * l21 * i11)
+        zero = jnp.zeros_like(a11)
+        return jnp.concatenate([
+            jnp.concatenate([i11, zero], axis=2),
+            jnp.concatenate([i21, i22], axis=2),
+        ], axis=1)
+    h = r // 2
+    inv11 = _chol_inverse_rec(a[:, :h, :h])
+    # L21 = A21 @ inv(L11)^T
+    l21 = _bdot(a[:, h:, :h], inv11, (((2,), (2,))))
+    # Schur complement S22 = A22 - L21 @ L21^T
+    s22 = a[:, h:, h:] - _bdot(l21, l21, (((2,), (2,))))
+    inv22 = _chol_inverse_rec(s22)
+    # inv21 = -inv(L22) @ (L21 @ inv(L11))
+    t = _bdot(l21, inv11, (((2,), (1,))))
+    inv21 = -_bdot(inv22, t, (((2,), (1,))))
+    zero = jnp.zeros((n, h, h), a.dtype)
+    return jnp.concatenate([
+        jnp.concatenate([inv11, zero], axis=2),
+        jnp.concatenate([inv21, inv22], axis=2),
+    ], axis=1)
+
+
+@jax.jit
+def chol_inverse(a: jax.Array) -> jax.Array:
+    """inv(chol(a)) for batched SPD a [N, d, d] (lower-triangular inverse).
+
+    d is padded internally to the next power of two with identity blocks.
+    """
+    n, d, _ = a.shape
+    d_pad = _next_pow2(d)
+    if d_pad != d:
+        pad_eye = jnp.zeros((d_pad, d_pad), a.dtype).at[
+            jnp.arange(d, d_pad), jnp.arange(d, d_pad)].set(1.0)
+        a = jnp.pad(a, ((0, 0), (0, d_pad - d), (0, d_pad - d)))
+        a = a + pad_eye[None]
+    inv = _chol_inverse_rec(a)
+    return inv[:, :d, :d]
+
+
+@jax.jit
+def spd_solve(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve a[n] x = b[n] for batched SPD a [N, d, d], b [N, d] -> [N, d].
+
+    x = inv(L)^T @ (inv(L) @ b). All-zero systems (padded rows) are bumped
+    to the identity so the factorization stays finite; their solutions are
+    then dropped by the callers' out-of-bounds scatters.
+    """
+    d = b.shape[1]
+    diag = jnp.einsum("ndd->nd", a)
+    bump = jnp.where(jnp.all(diag == 0.0, axis=-1), 1.0, 0.0)
+    a = a + bump[:, None, None] * jnp.eye(d, dtype=a.dtype)
+    inv = chol_inverse(a)
+    y = _bdot(inv, b[:, :, None], (((2,), (1,))))          # inv @ b
+    x = _bdot(inv, y, (((1,), (1,))))                      # inv^T @ y
+    return x[:, :, 0]

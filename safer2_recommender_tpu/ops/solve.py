@@ -2,9 +2,11 @@
 
 Replaces the reference's per-row Eigen solves — ``Eigen::LLT`` Cholesky
 (ials.h:140-142) and ``Eigen::ConjugateGradient`` (ials.h:133-138) — with
-batched device implementations. ``jnp.linalg.cholesky`` and the triangular
-solves batch natively, so a whole padded bucket of [N, d, d] systems is one
-XLA op sequence on the MXU.
+batched device implementations. The default path is the recursive block
+Cholesky inversion in ``ops/block_chol.py`` (see its docstring for why
+XLA's native batched ``cholesky``/``triangular_solve`` are ~3 orders of
+magnitude off the TPU roofline); ``xla_cholesky_solve`` keeps the native
+lowering available for comparison.
 """
 
 from __future__ import annotations
@@ -12,9 +14,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from safer2_recommender_tpu.ops.block_chol import spd_solve as cholesky_solve
 
-def cholesky_solve(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve a[n] x[n] = b[n] for SPD a: a [N, d, d], b [N, d] -> [N, d].
+
+def xla_cholesky_solve(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve a[n] x[n] = b[n] via XLA's native batched Cholesky lowering.
 
     Padded rows carry singular (all-zero) systems; the resulting NaNs are
     dropped by the out-of-bounds scatter in ``assemble.scatter_rows``, but

@@ -162,3 +162,57 @@ def test_exact_quantile_matches_reference_semantics():
     q = int(len(losses) * alpha)
     want = np.sort(losses)[::-1][q]
     assert got == pytest.approx(want)
+
+
+# --------------------------------------------------------------------------
+# Batched SPD solver (ops/block_chol.py)
+# --------------------------------------------------------------------------
+
+
+def _random_spd(rng, n, d, ridge=0.05):
+    g = rng.normal(size=(n, d, d)).astype(np.float32)
+    a = np.einsum("nij,nkj->nik", g, g) / d + ridge * np.eye(d,
+                                                            dtype=np.float32)
+    return jnp.asarray(a)
+
+
+@pytest.mark.parametrize("d", [1, 2, 5, 8, 16, 24, 32])
+def test_spd_solve_matches_numpy(d):
+    from safer2_recommender_tpu.ops import block_chol
+
+    rng = np.random.default_rng(d)
+    a = _random_spd(rng, 17, d)
+    b = jnp.asarray(rng.normal(size=(17, d)).astype(np.float32))
+    x = np.asarray(block_chol.spd_solve(a, b))
+    want = np.linalg.solve(np.asarray(a), np.asarray(b)[..., None])[..., 0]
+    np.testing.assert_allclose(x, want, rtol=2e-3, atol=2e-4)
+
+
+def test_spd_solve_zero_rows_stay_finite():
+    from safer2_recommender_tpu.ops import block_chol
+
+    rng = np.random.default_rng(0)
+    a = np.array(np.asarray(_random_spd(rng, 8, 16)))
+    a[3] = 0.0  # padded row: all-zero system
+    b = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    x = np.asarray(block_chol.spd_solve(jnp.asarray(a), b))
+    assert np.isfinite(x).all()
+    # non-padded rows still solved correctly
+    want = np.linalg.solve(a[4:], np.asarray(b)[4:, :, None])[..., 0]
+    np.testing.assert_allclose(x[4:], want, rtol=2e-3, atol=2e-4)
+
+
+def test_chol_inverse_lower_triangular():
+    from safer2_recommender_tpu.ops import block_chol
+
+    rng = np.random.default_rng(1)
+    a = _random_spd(rng, 5, 12)
+    inv = np.asarray(block_chol.chol_inverse(a))
+    # strictly upper triangle is exactly zero
+    iu = np.triu_indices(12, k=1)
+    assert (inv[:, iu[0], iu[1]] == 0.0).all()
+    # inv @ chol(a) == I
+    l = np.linalg.cholesky(np.asarray(a))
+    eye = np.einsum("nij,njk->nik", inv, l)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(12), eye.shape),
+                               atol=5e-4)
