@@ -69,8 +69,7 @@ def main() -> int:
 
     def run(n_epochs: int) -> float:
         t0 = time.perf_counter()
-        for _ in range(n_epochs):
-            model.train_epoch(dd)
+        model.train_epochs(dd, n_epochs)
         sync()
         return time.perf_counter() - t0
 

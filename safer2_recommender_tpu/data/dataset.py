@@ -157,14 +157,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _bucket_edges(max_len: int, min_bucket: int) -> Sequence[int]:
+def _bucket_edges(max_len: int, min_bucket: int,
+                  growth: int) -> Sequence[int]:
     edges = []
     e = min_bucket
     while True:
         edges.append(e)
         if e >= max_len:
             break
-        e *= 2
+        e *= growth
     return edges
 
 
@@ -176,14 +177,19 @@ def _build_buckets(
     nnz: int,
     min_bucket: int,
     row_multiple: int,
+    growth: int,
 ) -> Tuple[Bucket, ...]:
-    """Group rows by history length into power-of-two padded tiles."""
+    """Group rows by history length into padded tiles whose widths grow
+    by ``growth`` per bucket. A coarser ladder (growth=4) pads more tuples
+    (~2.1x vs ~1.4x on ML-1M) but quarters the number of per-bucket op
+    chains in every sweep — the right trade when epochs are bound by
+    host-side dispatch (small dim) rather than device FLOPs/bandwidth."""
     if sorted_rows.size == 0:
         return ()
     uniq, starts, counts = np.unique(
         sorted_rows, return_index=True, return_counts=True)
     max_len = int(counts.max())
-    edges = _bucket_edges(max_len, min_bucket)
+    edges = _bucket_edges(max_len, min_bucket, growth)
 
     buckets = []
     prev = 0
@@ -263,6 +269,7 @@ class DeviceData:
         num_items: Optional[int] = None,
         min_bucket: int = 8,
         row_multiple: int = 8,
+        growth: int = 2,
     ) -> "DeviceData":
         num_users = num_users or ds.num_users
         num_items = num_items or ds.num_items
@@ -272,9 +279,9 @@ class DeviceData:
         i_rows, i_cols, i_tidx = _csr_views(ds.item_ids, ds.user_ids, ds.nnz)
 
         by_user = _build_buckets(u_rows, u_cols, u_tidx, num_users, ds.nnz,
-                                 min_bucket, row_multiple)
+                                 min_bucket, row_multiple, growth)
         by_item = _build_buckets(i_rows, i_cols, i_tidx, num_items, ds.nnz,
-                                 min_bucket, row_multiple)
+                                 min_bucket, row_multiple, growth)
 
         uh = np.zeros(num_users, dtype=np.float32)
         np.add.at(uh, ds.user_ids, 1.0)
@@ -350,6 +357,7 @@ class FoldInData:
         min_bucket: int = 8,
         row_multiple: int = 8,
         chunk: int = 1024,
+        growth: int = 2,
     ) -> "FoldInData":
         row_multiple = row_multiple * mesh_lib.num_shards(mesh)
         uniq = np.unique(tr.user_ids)
@@ -359,7 +367,7 @@ class FoldInData:
 
         u_rows, u_cols, u_tidx = _csr_views(compact_u, tr.item_ids, tr.nnz)
         by_user = _build_buckets(u_rows, u_cols, u_tidx, n_eval, tr.nnz,
-                                 min_bucket, row_multiple)
+                                 min_bucket, row_multiple, growth)
 
         n_pad = _round_up(max(n_eval, 1), max(chunk, row_multiple))
 

@@ -102,6 +102,22 @@ class Recommender:
         """Pre-training warm start; overridden by the SAFER family
         (reference safer2.h:819-838)."""
 
+    def train_epochs(self, dd: DeviceData, n: int) -> None:
+        """Run ``n`` epochs in ONE device dispatch via ``lax.scan``.
+
+        On tunneled/remote backends every jitted call pays a host round
+        trip (~tens of ms); chaining epochs on-device removes it. Skips
+        the per-epoch stat logging — use ``train_epoch`` when per-epoch
+        stats are on (the reference logs per epoch, run_model.cc:258-270).
+        """
+        if not hasattr(self, "_epochs_scan_jit"):
+            def _run(state, dd_, n_):
+                return jax.lax.scan(
+                    lambda s, _: (self._epoch(s, dd_), None),
+                    state, None, length=n_)[0]
+            self._epochs_scan_jit = jax.jit(_run, static_argnums=(2,))
+        self.state = self._epochs_scan_jit(self.state, dd, n)
+
     def train_epoch(self, dd: DeviceData) -> None:
         if self._stats_order == "pre":
             self._log_train_stats(dd)

@@ -36,21 +36,45 @@ def safe_len(bucket: Bucket) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def solve_rows_ials(table_other: jax.Array, gramian: jax.Array,
-                    bucket: Bucket, reg_rows: jax.Array, uobs: float,
-                    *, use_cg: bool = False, cg_tol: float = 1e-10,
-                    cg_iters: int = 100, dtype=None) -> jax.Array:
+def solve_sweep(table: jax.Array, buckets, assemble_fn, *,
+                use_cg: bool = False, cg_tol: float = 1e-10,
+                cg_iters: int = 100) -> jax.Array:
+    """One full ALS sweep: assemble every bucket's normal equations,
+    solve them ALL in one batched call, scatter the rows back.
+
+    Concatenating across buckets before the solve keeps the solver's op
+    graph in the program exactly once (the per-bucket form replicated the
+    ~200-op block-Cholesky recursion per bucket, and host-side dispatch of
+    that graph dominated small-dim epochs). ``assemble_fn(bucket) ->
+    (a [n,d,d], rhs [n,d])``.
+    """
+    if not buckets:
+        return table
+    systems = [assemble_fn(b) for b in buckets]
+    a = jnp.concatenate([s[0] for s in systems], axis=0)
+    rhs = jnp.concatenate([s[1] for s in systems], axis=0)
+    x = solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol, max_iters=cg_iters)
+    ofs = 0
+    for b in buckets:
+        table = assemble.scatter_rows(table, b.row_ids,
+                                      x[ofs:ofs + b.n_rows])
+        ofs += b.n_rows
+    return table
+
+
+def assemble_ials(table_other: jax.Array, gramian: jax.Array,
+                  bucket: Bucket, reg_rows: jax.Array, uobs: float,
+                  dtype=None) -> Tuple[jax.Array, jax.Array]:
     """iALS normal equations (reference ials.h:88-144):
 
-    A = uobs * G + reg * I + sum_h v v^T ;  rhs = sum_h v ;  x = A^-1 rhs.
+    A = uobs * G + reg * I + sum_h v v^T ;  rhs = sum_h v.
     """
     emb, _ = assemble.gather_history(table_other, bucket, dtype)
     a = assemble.row_gramians(emb)
     rhs = assemble.row_sums(emb)
     a = a + uobs * gramian[None].astype(a.dtype)
     a = assemble.add_ridge(a, reg_rows)
-    return solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
-                       max_iters=cg_iters)
+    return a, rhs
 
 
 def assemble_weighted_mean(table_other: jax.Array, gramian: jax.Array,
@@ -73,13 +97,6 @@ def assemble_weighted_mean(table_other: jax.Array, gramian: jax.Array,
     return a, rhs
 
 
-def solve_rows_weighted_mean(table_other, gramian, bucket, reg_rows, uobs,
-                             row_weight, *, use_cg=False, cg_tol=1e-10,
-                             cg_iters=100, dtype=None) -> jax.Array:
-    a, rhs = assemble_weighted_mean(table_other, gramian, bucket, reg_rows,
-                                    uobs, row_weight, dtype)
-    return solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
-                       max_iters=cg_iters)
 
 
 def assemble_weighted_item(table_other: jax.Array, w_gramian: jax.Array,
@@ -104,13 +121,6 @@ def assemble_weighted_item(table_other: jax.Array, w_gramian: jax.Array,
     return a, rhs
 
 
-def solve_rows_weighted_item(table_other, w_gramian, bucket, reg_rows, uobs,
-                             norm_dual, *, use_cg=False, cg_tol=1e-10,
-                             cg_iters=100, dtype=None) -> jax.Array:
-    a, rhs = assemble_weighted_item(table_other, w_gramian, bucket,
-                                    reg_rows, uobs, norm_dual, dtype)
-    return solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
-                       max_iters=cg_iters)
 
 
 # --------------------------------------------------------------------------
@@ -118,18 +128,42 @@ def solve_rows_weighted_item(table_other, w_gramian, bucket, reg_rows, uobs,
 # --------------------------------------------------------------------------
 
 
-def block_rows_unweighted(
+def block_solve_sweep(table: jax.Array, pred: jax.Array, buckets,
+                      assemble_fn, s: int, e: int
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """One blockwise delta-solve sweep over all buckets with a single
+    batched solve (same op-count rationale as ``solve_sweep``).
+
+    ``assemble_fn(bucket) -> (a, rhs, x_loc, emb, mask)``; the new local
+    rows are ``x_loc - A^-1 rhs`` and the prediction cache is advanced by
+    ``emb @ delta`` per tuple (reference ialspp.h:399-406 / safer2pp.h:
+    504-508, as exact scatter-adds instead of lock-free racy writes).
+    """
+    if not buckets:
+        return table, pred
+    systems = [assemble_fn(b) for b in buckets]
+    a = jnp.concatenate([t[0] for t in systems], axis=0)
+    rhs = jnp.concatenate([t[1] for t in systems], axis=0)
+    delta = -solve.cholesky_solve(a, rhs)
+    ofs = 0
+    for b, (_, _, x_loc, emb, mask) in zip(buckets, systems):
+        d_b = delta[ofs:ofs + b.n_rows]
+        ofs += b.n_rows
+        pred_delta = jnp.einsum("nld,nd->nl", emb, d_b) * mask
+        pred = assemble.scatter_pred_update(pred, b, pred_delta, add=True)
+        table = write_block(table, b, s, e, x_loc + d_b)
+    return table, pred
+
+
+def block_assemble_unweighted(
     table_self: jax.Array, other_loc: jax.Array, pred: jax.Array,
     bucket: Bucket, s: int, e: int, g_loc: jax.Array, g_lg: jax.Array,
     reg_rows: jax.Array, uobs: float, dtype=None,
-) -> Tuple[jax.Array, jax.Array]:
-    """iALS++ block delta-solve (reference ialspp.h:85-145).
+):
+    """iALS++ block delta system (reference ialspp.h:85-145).
 
     A = uobs * G_loc + reg * I + sum_h v_loc v_loc^T
     rhs = sum_h v_loc (pred_t - 1) + uobs * G_lg @ x_full + reg * x_loc
-    new_loc = x_loc - A^-1 rhs
-
-    Returns (new local rows [N, e-s], per-tuple prediction deltas [N, L]).
     """
     x_full = table_self[bucket.row_ids]
     x_loc = x_full[:, s:e]
@@ -140,17 +174,15 @@ def block_rows_unweighted(
     a = assemble.add_ridge(a, reg_rows)
     rhs = assemble.row_sums(emb, col_weight=resid)
     rhs = rhs + uobs * (x_full @ g_lg.T) + reg_rows[:, None] * x_loc
-    delta = -solve.cholesky_solve(a, rhs)
-    pred_delta = jnp.einsum("nld,nd->nl", emb, delta) * mask
-    return x_loc + delta, pred_delta
+    return a, rhs, x_loc, emb, mask
 
 
-def block_rows_user_safer(
+def block_assemble_user_safer(
     table_self: jax.Array, other_loc: jax.Array, pred: jax.Array,
     bucket: Bucket, s: int, e: int, g_loc: jax.Array, g_lg: jax.Array,
     reg_rows: jax.Array, uobs: float, row_weight: jax.Array, dtype=None,
-) -> Tuple[jax.Array, jax.Array]:
-    """SAFER2++ user block step (reference safer2pp.h:97-159):
+):
+    """SAFER2++ user block system (reference safer2pp.h:97-159):
 
     A = w * (sum_h v_loc v_loc^T / |H| + uobs * G_loc) + reg * I
     rhs = (w/|H|) sum_h v_loc (pred-1) + w * uobs * G_lg @ u_full
@@ -168,17 +200,15 @@ def block_rows_user_safer(
     rhs = assemble.row_sums(emb, col_weight=resid) * (w * inv_len)[:, None]
     rhs = rhs + (uobs * w)[:, None] * (x_full @ g_lg.T)
     rhs = rhs + reg_rows[:, None] * x_loc
-    delta = -solve.cholesky_solve(a, rhs)
-    pred_delta = jnp.einsum("nld,nd->nl", emb, delta) * mask
-    return x_loc + delta, pred_delta
+    return a, rhs, x_loc, emb, mask
 
 
-def block_rows_item_safer(
+def block_assemble_item_safer(
     table_self: jax.Array, other_loc: jax.Array, pred: jax.Array,
     bucket: Bucket, s: int, e: int, g_loc_w: jax.Array, g_lg_w: jax.Array,
     reg_rows: jax.Array, uobs: float, norm_dual: jax.Array, dtype=None,
-) -> Tuple[jax.Array, jax.Array]:
-    """SAFER2++ item block step (reference safer2pp.h:161-216):
+):
+    """SAFER2++ item block system (reference safer2pp.h:161-216):
 
     A = uobs * G_loc_w + reg * I + sum_h wt_u u_loc u_loc^T
     rhs = sum_h wt_u u_loc (pred-1) + uobs * G_lg_w @ v_full + reg * v_loc
@@ -194,9 +224,7 @@ def block_rows_item_safer(
     a = assemble.add_ridge(a, reg_rows)
     rhs = assemble.row_sums(emb, col_weight=wt * resid)
     rhs = rhs + uobs * (x_full @ g_lg_w.T) + reg_rows[:, None] * x_loc
-    delta = -solve.cholesky_solve(a, rhs)
-    pred_delta = jnp.einsum("nld,nd->nl", emb, delta) * mask
-    return x_loc + delta, pred_delta
+    return a, rhs, x_loc, emb, mask
 
 
 def write_block(table: jax.Array, bucket: Bucket, s: int, e: int,

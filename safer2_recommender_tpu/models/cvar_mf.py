@@ -110,12 +110,11 @@ class CVaRMF(SaferFamilyMixin, Recommender):
         cfg = self.cfg
         ue = jnp.zeros((fold.n_pad, cfg.dim), jnp.float32)
         reg = self._user_reg()
-        for b in fold.by_user:
-            a, rhs = common.assemble_weighted_mean(
+
+        def assemble_fn(b):
+            return common.assemble_weighted_mean(
                 state.item_emb, state.item_gramian, b,
                 jnp.full((b.n_rows,), reg, jnp.float32),
                 cfg.uobs_weight, jnp.ones((b.n_rows,), jnp.float32))
-            from safer2_recommender_tpu.ops import solve as solve_lib
-            x = solve_lib.cholesky_solve(a, rhs)
-            ue = assemble.scatter_rows(ue, b.row_ids, x)
-        return ue
+
+        return common.solve_sweep(ue, fold.by_user, assemble_fn)

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
 from safer2_recommender_tpu.models.base import MFState, Recommender
-from safer2_recommender_tpu.ops import assemble
 
 
 class IALS(Recommender):
@@ -37,15 +36,17 @@ class IALS(Recommender):
     def _sweep(self, table_self, table_other, buckets, num_choices):
         cfg = self.cfg
         gram = (table_other.T @ table_other).astype(jnp.float32)
-        for b in buckets:
+
+        def assemble_fn(b):
             reg = common.ials_reg(b.length, num_choices, cfg.l2_reg,
                                   cfg.l2_reg_exp, cfg.uobs_weight)
-            x = common.solve_rows_ials(
-                table_other, gram, b, reg, cfg.uobs_weight,
-                use_cg=cfg.use_cg, cg_tol=cfg.cg_error_tolerance,
-                cg_iters=cfg.cg_max_iterations)
-            table_self = assemble.scatter_rows(table_self, b.row_ids, x)
-        return table_self
+            return common.assemble_ials(table_other, gram, b, reg,
+                                        cfg.uobs_weight)
+
+        return common.solve_sweep(table_self, buckets, assemble_fn,
+                                  use_cg=cfg.use_cg,
+                                  cg_tol=cfg.cg_error_tolerance,
+                                  cg_iters=cfg.cg_max_iterations)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         u = self._sweep(state.user_emb, state.item_emb, dd.by_user,

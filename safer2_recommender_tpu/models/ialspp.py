@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
 from safer2_recommender_tpu.models.base import MFState, Recommender
-from safer2_recommender_tpu.ops import assemble
 
 
 class IALSpp(Recommender):
@@ -50,16 +49,16 @@ class IALSpp(Recommender):
         other_loc = table_other[:, s:e]
         g_loc = other_loc.T @ other_loc
         g_lg = other_loc.T @ table_other
-        for b in buckets:
+
+        def assemble_fn(b):
             reg = common.ials_reg(b.length, num_choices, cfg.l2_reg,
                                   cfg.l2_reg_exp, cfg.uobs_weight)
-            new_loc, pred_delta = common.block_rows_unweighted(
+            return common.block_assemble_unweighted(
                 table_self, other_loc, pred, b, s, e, g_loc, g_lg,
                 reg, cfg.uobs_weight)
-            pred = assemble.scatter_pred_update(pred, b, pred_delta,
-                                                add=True)
-            table_self = common.write_block(table_self, b, s, e, new_loc)
-        return table_self, pred
+
+        return common.block_solve_sweep(table_self, pred, buckets,
+                                        assemble_fn, s, e)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         u, v = state.user_emb, state.item_emb

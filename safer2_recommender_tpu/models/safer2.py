@@ -27,7 +27,7 @@ from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
 from safer2_recommender_tpu.models.base import (MFState, Recommender,
                                                   SaferFamilyMixin)
-from safer2_recommender_tpu.ops import assemble, quantile, smoothing
+from safer2_recommender_tpu.ops import quantile, smoothing
 
 
 class SAFER2(SaferFamilyMixin, Recommender):
@@ -54,16 +54,18 @@ class SAFER2(SaferFamilyMixin, Recommender):
     def _step_u(self, ue, item_emb, gramian, buckets, dual):
         cfg = self.cfg
         reg = self._user_reg()
-        for b in buckets:
+
+        def assemble_fn(b):
             w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
-            x = common.solve_rows_weighted_mean(
+            return common.assemble_weighted_mean(
                 item_emb, gramian, b,
                 jnp.full((b.n_rows,), reg, jnp.float32),
-                cfg.uobs_weight, w, use_cg=cfg.use_cg,
-                cg_tol=cfg.cg_error_tolerance,
-                cg_iters=cfg.cg_max_iterations)
-            ue = assemble.scatter_rows(ue, b.row_ids, x)
-        return ue
+                cfg.uobs_weight, w)
+
+        return common.solve_sweep(ue, buckets, assemble_fn,
+                                  use_cg=cfg.use_cg,
+                                  cg_tol=cfg.cg_error_tolerance,
+                                  cg_iters=cfg.cg_max_iterations)
 
     def _step_v(self, v, user_emb, dd: DeviceData, dual):
         cfg = self.cfg
@@ -73,14 +75,16 @@ class SAFER2(SaferFamilyMixin, Recommender):
         norm_dual = jnp.where(dd.user_hist_size > 0,
                               dual / jnp.maximum(dd.user_hist_size, 1.0),
                               0.0)
-        for b in dd.by_item:
+
+        def assemble_fn(b):
             reg = self._item_reg(dd.item_reg, b.row_ids)
-            x = common.solve_rows_weighted_item(
-                user_emb, w_gram, b, reg, cfg.uobs_weight, norm_dual,
-                use_cg=cfg.use_cg, cg_tol=cfg.cg_error_tolerance,
-                cg_iters=cfg.cg_max_iterations)
-            v = assemble.scatter_rows(v, b.row_ids, x)
-        return v
+            return common.assemble_weighted_item(
+                user_emb, w_gram, b, reg, cfg.uobs_weight, norm_dual)
+
+        return common.solve_sweep(v, dd.by_item, assemble_fn,
+                                  use_cg=cfg.use_cg,
+                                  cg_tol=cfg.cg_error_tolerance,
+                                  cg_iters=cfg.cg_max_iterations)
 
     def _zstep(self, state: MFState, present: jax.Array) -> jax.Array:
         """Update duals for users with history only (the reference's

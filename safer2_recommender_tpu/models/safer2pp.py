@@ -27,7 +27,7 @@ from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
 from safer2_recommender_tpu.models.base import (MFState, Recommender,
                                                   SaferFamilyMixin)
-from safer2_recommender_tpu.ops import assemble, quantile, smoothing
+from safer2_recommender_tpu.ops import quantile, smoothing
 
 
 class SAFER2pp(SaferFamilyMixin, Recommender):
@@ -59,16 +59,15 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         g_loc = v_loc.T @ v_loc
         g_lg = v_loc.T @ v
         reg = self._user_reg()
-        for b in buckets:
+
+        def assemble_fn(b):
             w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
-            new_loc, pred_delta = common.block_rows_user_safer(
+            return common.block_assemble_user_safer(
                 u, v_loc, pred, b, s, e, g_loc, g_lg,
                 jnp.full((b.n_rows,), reg, jnp.float32),
                 cfg.uobs_weight, w)
-            pred = assemble.scatter_pred_update(pred, b, pred_delta,
-                                                add=True)
-            u = common.write_block(u, b, s, e, new_loc)
-        return u, pred
+
+        return common.block_solve_sweep(u, pred, buckets, assemble_fn, s, e)
 
     def _block_sweep_v(self, v, u, pred, dd: DeviceData, s, e, dual):
         cfg = self.cfg
@@ -79,15 +78,15 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         norm_dual = jnp.where(dd.user_hist_size > 0,
                               dual / jnp.maximum(dd.user_hist_size, 1.0),
                               0.0)
-        for b in dd.by_item:
+
+        def assemble_fn(b):
             reg = self._item_reg(dd.item_reg, b.row_ids)
-            new_loc, pred_delta = common.block_rows_item_safer(
+            return common.block_assemble_item_safer(
                 v, u_loc, pred, b, s, e, g_loc_w, g_lg_w, reg,
                 cfg.uobs_weight, norm_dual)
-            pred = assemble.scatter_pred_update(pred, b, pred_delta,
-                                                add=True)
-            v = common.write_block(v, b, s, e, new_loc)
-        return v, pred
+
+        return common.block_solve_sweep(v, pred, dd.by_item, assemble_fn,
+                                        s, e)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         cfg = self.cfg
@@ -150,17 +149,6 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         for _ in range(self.cfg.eval_fold_in_epochs):
             pred = common.predict_all(ue, v, fold.by_user, fold.nnz)
             for (s, e) in self._blocks():
-                v_loc = v[:, s:e]
-                g_loc = v_loc.T @ v_loc
-                g_lg = v_loc.T @ v
-                reg = self._user_reg()
-                for b in fold.by_user:
-                    new_loc, pred_delta = common.block_rows_user_safer(
-                        ue, v_loc, pred, b, s, e, g_loc, g_lg,
-                        jnp.full((b.n_rows,), reg, jnp.float32),
-                        self.cfg.uobs_weight,
-                        ones[jnp.minimum(b.row_ids, fold.n_pad - 1)])
-                    pred = assemble.scatter_pred_update(
-                        pred, b, pred_delta, add=True)
-                    ue = common.write_block(ue, b, s, e, new_loc)
+                ue, pred = self._block_sweep_u(ue, v, pred, fold.by_user,
+                                               s, e, ones)
         return ue
