@@ -32,8 +32,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 HIGHEST = jax.lax.Precision.HIGHEST
+
+# Recursion stops here; on TPU the leaf runs as a lane-major Pallas kernel.
+_LEAF = 32
+_LEAF_LANES = 256   # live [32, 32, NL] f32 buffers must fit 16MB VMEM
 
 
 def _bdot(lhs: jax.Array, rhs: jax.Array, contract) -> jax.Array:
@@ -49,9 +55,81 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+def _leaf_kernel(blk_ref, inv_ref, *, r: int):
+    """inv(chol(blk)) for a lane-major [r, r, NL] tile of SPD blocks.
+
+    Layout is (row, col, batch): the batch rides the 128-wide lane
+    dimension, so the per-column masked updates waste nothing to tile
+    padding (batch-major [N, r, r] tiles pad r up to 128 lanes — a 4-16x
+    waste that made both XLA's lowering and a batch-major kernel slow).
+    One fused loop step j computes Cholesky column j and row j of the
+    inverse (row j of L is final by step j).
+    """
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)      # [r, 1]
+
+    def step(j, carry):
+        blk, inv = carry
+        oh = (row_i == j).astype(jnp.float32)                   # [r, 1]
+        # --- Cholesky column j ---
+        colv = jnp.sum(blk * oh[None, :, :], axis=1)            # [r, NL]
+        piv = jnp.sum(colv * oh, axis=0, keepdims=True)         # [1, NL]
+        inv_piv = jax.lax.rsqrt(jnp.maximum(piv, 1e-30))
+        below = (row_i >= j).astype(jnp.float32)
+        col = colv * inv_piv * below                            # [r, NL]
+        right = (row_i > j).astype(jnp.float32)                 # col mask
+        blk = blk - col[:, None, :] * col[None, :, :] * right[None, :, :]
+        keep_c = (1.0 - oh)[None, :, :]
+        blk = blk * keep_c + col[:, None, :] * oh[None, :, :]
+        # --- inverse row j: (e_j - L[j,:j] @ inv[:j]) / L[j,j] ---
+        lrow = jnp.sum(blk * oh[:, None, :], axis=0)            # [r, NL]
+        lrow = lrow * (row_i < j).astype(jnp.float32)           # cols < j
+        prod = jnp.sum(inv * lrow[:, None, :], axis=0)          # [r, NL]
+        rowv = (oh - prod) * inv_piv
+        keep_r = (1.0 - oh)[:, None, :]
+        inv = inv * keep_r + rowv[None, :, :] * oh[:, None, :]
+        return blk, inv
+
+    blk0 = blk_ref[:]
+    _, inv = jax.lax.fori_loop(0, r, step, (blk0, jnp.zeros_like(blk0)))
+    inv_ref[:] = inv
+
+
+def _chol_inverse_leaf(a: jax.Array) -> jax.Array:
+    """Leaf via the lane-major Pallas kernel: a [N, r, r] -> inv(chol(a))."""
+    n, r, _ = a.shape
+    nl = _LEAF_LANES
+    n_pad = ((n + nl - 1) // nl) * nl
+    if n_pad != n:
+        pad = jnp.broadcast_to(jnp.eye(r, dtype=a.dtype), (n_pad - n, r, r))
+        a = jnp.concatenate([a, pad], axis=0)
+    at = jnp.transpose(a, (1, 2, 0))                            # [r, r, N]
+    inv_t = pl.pallas_call(
+        functools.partial(_leaf_kernel, r=r),
+        grid=(n_pad // nl,),
+        in_specs=[pl.BlockSpec((r, r, nl), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((r, r, nl), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, r, n_pad), jnp.float32),
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * n_pad * r ** 3 / 3),
+            bytes_accessed=int(2 * n_pad * r * r * 4),
+            transcendentals=int(n_pad * r),
+        ),
+    )(at)
+    return jnp.transpose(inv_t, (2, 0, 1))[:n]
+
+
+def _use_leaf_kernel() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def _chol_inverse_rec(a: jax.Array) -> jax.Array:
     """inv(chol(a)) (lower-triangular) for SPD a [N, R, R], R a power of 2."""
     n, r, _ = a.shape
+    if r <= _LEAF and r >= 8 and _use_leaf_kernel():
+        return _chol_inverse_leaf(a)
     if r == 1:
         return jax.lax.rsqrt(jnp.maximum(a, 1e-30))
     if r == 2:
