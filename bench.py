@@ -46,7 +46,7 @@ def main() -> int:
     from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
 
     train = Dataset.from_csv(os.path.join(ML1M_DIR, "train.csv"))
-    dd = DeviceData.build(train)
+    dd = DeviceData.build(train, dim=DIM)
     cfg = Config(dim=DIM, uobs_weight=0.004, l2_reg=0.004, alpha=0.3,
                  bandwidth=0.15, xi_iterations=5, pd_iterations=1,
                  stdev=0.1)

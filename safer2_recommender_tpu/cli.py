@@ -117,9 +117,9 @@ def main(argv=None) -> int:
     test_tr = Dataset.from_csv(args.test_train_data)
     test_te = Dataset.from_csv(args.test_test_data)
 
-    dd = DeviceData.build(train, mesh=mesh)
+    dd = DeviceData.build(train, mesh=mesh, dim=args.dim)
     fold = FoldInData.build(test_tr, test_te, num_items=train.num_items,
-                            mesh=mesh)
+                            mesh=mesh, dim=args.dim)
 
     model = get_model(args.model_name, cfg, train.num_users,
                       train.num_items, mesh=mesh)

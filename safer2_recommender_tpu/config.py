@@ -49,6 +49,11 @@ class Config:
     use_epanechnikov: bool = False
     use_snr: bool = False
     use_cg: bool = False
+    # History-embedding dtype for normal-equation assembly: "auto" picks
+    # bfloat16 on TPU (the Gramian einsum is the FLOP bulk at scale —
+    # ~17 PFLOP/epoch on MSD at dim 512 — and bf16 runs the MXU at full
+    # rate with f32 accumulation), float32 elsewhere.
+    compute_dtype: str = "auto"   # "auto" | "f32" | "bf16" 
     cg_error_tolerance: float = 1e-10
     cg_max_iterations: int = 100
     epochs: int = 50

@@ -178,12 +178,21 @@ def _build_buckets(
     min_bucket: int,
     row_multiple: int,
     growth: int,
+    max_rows: int = 0,
+    max_tuples: int = 0,
 ) -> Tuple[Bucket, ...]:
     """Group rows by history length into padded tiles whose widths grow
     by ``growth`` per bucket. A coarser ladder (growth=4) pads more tuples
     (~2.1x vs ~1.4x on ML-1M) but quarters the number of per-bucket op
     chains in every sweep — the right trade when epochs are bound by
-    host-side dispatch (small dim) rather than device FLOPs/bandwidth."""
+    host-side dispatch (small dim) rather than device FLOPs/bandwidth.
+
+    ``max_rows``/``max_tuples`` (0 = unbounded) split oversized buckets
+    into row chunks so a sweep never materializes more than a bounded
+    slab of [rows, d, d] normal equations / [rows, L, d] gathered
+    embeddings. Required beyond ML-1M scale: MSD (571k users, dim 512)
+    would otherwise need ~600GB for one bucket's batched systems — the
+    reference instead streams one user at a time (ials.h:326-361)."""
     if sorted_rows.size == 0:
         return ()
     uniq, starts, counts = np.unique(
@@ -201,27 +210,36 @@ def _build_buckets(
             continue
         st = starts[sel]
         ct = counts[sel]
-        n = ids.size
-        n_pad = _round_up(n, row_multiple)
-        row_ids = np.full(n_pad, num_rows, dtype=np.int32)
-        row_ids[:n] = ids
-        length = np.zeros(n_pad, dtype=np.int32)
-        length[:n] = ct
-        col_ids = np.zeros((n_pad, edge), dtype=np.int32)
-        tidx = np.full((n_pad, edge), nnz, dtype=np.int32)
-        # Vectorized ragged fill: flat positions (row, offset-within-row).
-        row_of = np.repeat(np.arange(n), ct)
-        off = _segment_arange(ct)
-        gidx = np.repeat(st, ct) + off
-        col_ids[row_of, off] = sorted_cols[gidx]
-        tidx[row_of, off] = sorted_tidx[gidx]
-        buckets.append(
-            Bucket(
-                row_ids=jnp.asarray(row_ids),
-                col_ids=jnp.asarray(col_ids),
-                tuple_idx=jnp.asarray(tidx),
-                length=jnp.asarray(length),
-            ))
+        chunk = ids.size
+        if max_rows > 0:
+            chunk = min(chunk, max_rows)
+        if max_tuples > 0:
+            chunk = min(chunk, max(max_tuples // edge, row_multiple))
+        chunk = _round_up(chunk, row_multiple)
+        for lo in range(0, ids.size, chunk):
+            hi = min(lo + chunk, ids.size)
+            n = hi - lo
+            n_pad = _round_up(n, row_multiple)
+            row_ids = np.full(n_pad, num_rows, dtype=np.int32)
+            row_ids[:n] = ids[lo:hi]
+            length = np.zeros(n_pad, dtype=np.int32)
+            length[:n] = ct[lo:hi]
+            col_ids = np.zeros((n_pad, edge), dtype=np.int32)
+            tidx = np.full((n_pad, edge), nnz, dtype=np.int32)
+            # Vectorized ragged fill: flat (row, offset-within-row) pairs.
+            cts = ct[lo:hi]
+            row_of = np.repeat(np.arange(n), cts)
+            off = _segment_arange(cts)
+            gidx = np.repeat(st[lo:hi], cts) + off
+            col_ids[row_of, off] = sorted_cols[gidx]
+            tidx[row_of, off] = sorted_tidx[gidx]
+            buckets.append(
+                Bucket(
+                    row_ids=jnp.asarray(row_ids),
+                    col_ids=jnp.asarray(col_ids),
+                    tuple_idx=jnp.asarray(tidx),
+                    length=jnp.asarray(length),
+                ))
     return tuple(buckets)
 
 
@@ -232,6 +250,20 @@ def _segment_arange(counts: np.ndarray) -> np.ndarray:
     out = np.arange(total, dtype=np.int64)
     out -= np.repeat(ends - counts, counts)
     return out
+
+
+def _bucket_budgets(dim: int, budget_bytes: int) -> Tuple[int, int]:
+    """Per-bucket row/tuple caps from the embedding dim (0 = no cap).
+
+    Caps the two big per-bucket intermediates: the batched normal
+    equations [rows, d, d] (plus ~2 live copies in the solver) and the
+    gathered history embeddings [rows, L, d] (~2 copies with the masked
+    product)."""
+    if dim <= 0:
+        return 0, 0
+    max_rows = max(budget_bytes // (3 * dim * dim * 4), 64)
+    max_tuples = max(budget_bytes // (2 * dim * 4), 4096)
+    return int(max_rows), int(max_tuples)
 
 
 def _csr_views(ids: np.ndarray, other: np.ndarray, nnz: int):
@@ -270,18 +302,23 @@ class DeviceData:
         min_bucket: int = 8,
         row_multiple: int = 8,
         growth: int = 2,
+        dim: int = 0,
+        memory_budget_bytes: int = 2 << 30,
     ) -> "DeviceData":
         num_users = num_users or ds.num_users
         num_items = num_items or ds.num_items
         row_multiple = row_multiple * mesh_lib.num_shards(mesh)
+        max_rows, max_tuples = _bucket_budgets(dim, memory_budget_bytes)
 
         u_rows, u_cols, u_tidx = _csr_views(ds.user_ids, ds.item_ids, ds.nnz)
         i_rows, i_cols, i_tidx = _csr_views(ds.item_ids, ds.user_ids, ds.nnz)
 
         by_user = _build_buckets(u_rows, u_cols, u_tidx, num_users, ds.nnz,
-                                 min_bucket, row_multiple, growth)
+                                 min_bucket, row_multiple, growth,
+                                 max_rows, max_tuples)
         by_item = _build_buckets(i_rows, i_cols, i_tidx, num_items, ds.nnz,
-                                 min_bucket, row_multiple, growth)
+                                 min_bucket, row_multiple, growth,
+                                 max_rows, max_tuples)
 
         uh = np.zeros(num_users, dtype=np.float32)
         np.add.at(uh, ds.user_ids, 1.0)
@@ -358,8 +395,11 @@ class FoldInData:
         row_multiple: int = 8,
         chunk: int = 1024,
         growth: int = 2,
+        dim: int = 0,
+        memory_budget_bytes: int = 2 << 30,
     ) -> "FoldInData":
         row_multiple = row_multiple * mesh_lib.num_shards(mesh)
+        max_rows, max_tuples = _bucket_budgets(dim, memory_budget_bytes)
         uniq = np.unique(tr.user_ids)
         n_eval = uniq.size
         remap = {int(u): i for i, u in enumerate(uniq)}
@@ -367,7 +407,8 @@ class FoldInData:
 
         u_rows, u_cols, u_tidx = _csr_views(compact_u, tr.item_ids, tr.nnz)
         by_user = _build_buckets(u_rows, u_cols, u_tidx, n_eval, tr.nnz,
-                                 min_bucket, row_multiple, growth)
+                                 min_bucket, row_multiple, growth,
+                                 max_rows, max_tuples)
 
         n_pad = _round_up(max(n_eval, 1), max(chunk, row_multiple))
 

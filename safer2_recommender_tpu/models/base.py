@@ -65,6 +65,13 @@ class Recommender:
         self.print_residual_stats = False
         self.print_var_stats = False
 
+        if cfg.compute_dtype == "bf16" or (
+                cfg.compute_dtype == "auto"
+                and jax.default_backend() == "tpu"):
+            self.asm_dtype = jnp.bfloat16
+        else:
+            self.asm_dtype = None  # keep table dtype (f32)
+
         key = jax.random.PRNGKey(cfg.seed)
         ku, ki, kr = jax.random.split(key, 3)
         user_emb = common.normal_init(ku, num_users, cfg.dim, cfg.stdev)

@@ -36,29 +36,53 @@ def safe_len(bucket: Bucket) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
+def _solve_groups(buckets, dim: int, budget_bytes: int = 2 << 30):
+    """Greedily group buckets so one solve batch's [rows, d, d] systems
+    (plus ~2 live solver copies) stay under the memory budget."""
+    cap = max(budget_bytes // (3 * dim * dim * 4), 64)
+    groups, cur, rows = [], [], 0
+    for b in buckets:
+        if cur and rows + b.n_rows > cap:
+            groups.append(cur)
+            cur, rows = [], 0
+        cur.append(b)
+        rows += b.n_rows
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def solve_sweep(table: jax.Array, buckets, assemble_fn, *,
                 use_cg: bool = False, cg_tol: float = 1e-10,
                 cg_iters: int = 100) -> jax.Array:
-    """One full ALS sweep: assemble every bucket's normal equations,
-    solve them ALL in one batched call, scatter the rows back.
+    """One full ALS sweep: assemble the buckets' normal equations, solve
+    them in as few batched calls as the memory budget allows, scatter the
+    rows back.
 
     Concatenating across buckets before the solve keeps the solver's op
-    graph in the program exactly once (the per-bucket form replicated the
-    ~200-op block-Cholesky recursion per bucket, and host-side dispatch of
-    that graph dominated small-dim epochs). ``assemble_fn(bucket) ->
-    (a [n,d,d], rhs [n,d])``.
+    graph in the program once per *group* rather than once per bucket
+    (the per-bucket form replicated the ~200-op block-Cholesky recursion
+    9x and host-side dispatch of that graph dominated small-dim epochs);
+    the grouping cap keeps the concatenated [rows, d, d] slab bounded at
+    MSD scale. ``assemble_fn(bucket) -> (a [n,d,d], rhs [n,d])``.
     """
     if not buckets:
         return table
-    systems = [assemble_fn(b) for b in buckets]
-    a = jnp.concatenate([s[0] for s in systems], axis=0)
-    rhs = jnp.concatenate([s[1] for s in systems], axis=0)
-    x = solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol, max_iters=cg_iters)
-    ofs = 0
-    for b in buckets:
-        table = assemble.scatter_rows(table, b.row_ids,
-                                      x[ofs:ofs + b.n_rows])
-        ofs += b.n_rows
+    dim = table.shape[1]
+    for group in _solve_groups(buckets, dim):
+        systems = [assemble_fn(b) for b in group]
+        if len(group) == 1:
+            a, rhs = systems[0]
+        else:
+            a = jnp.concatenate([s[0] for s in systems], axis=0)
+            rhs = jnp.concatenate([s[1] for s in systems], axis=0)
+        x = solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
+                        max_iters=cg_iters)
+        ofs = 0
+        for b in group:
+            table = assemble.scatter_rows(table, b.row_ids,
+                                          x[ofs:ofs + b.n_rows])
+            ofs += b.n_rows
     return table
 
 
@@ -141,17 +165,22 @@ def block_solve_sweep(table: jax.Array, pred: jax.Array, buckets,
     """
     if not buckets:
         return table, pred
-    systems = [assemble_fn(b) for b in buckets]
-    a = jnp.concatenate([t[0] for t in systems], axis=0)
-    rhs = jnp.concatenate([t[1] for t in systems], axis=0)
-    delta = -solve.cholesky_solve(a, rhs)
-    ofs = 0
-    for b, (_, _, x_loc, emb, mask) in zip(buckets, systems):
-        d_b = delta[ofs:ofs + b.n_rows]
-        ofs += b.n_rows
-        pred_delta = jnp.einsum("nld,nd->nl", emb, d_b) * mask
-        pred = assemble.scatter_pred_update(pred, b, pred_delta, add=True)
-        table = write_block(table, b, s, e, x_loc + d_b)
+    for group in _solve_groups(buckets, e - s):
+        systems = [assemble_fn(b) for b in group]
+        if len(group) == 1:
+            a, rhs = systems[0][0], systems[0][1]
+        else:
+            a = jnp.concatenate([t[0] for t in systems], axis=0)
+            rhs = jnp.concatenate([t[1] for t in systems], axis=0)
+        delta = -solve.cholesky_solve(a, rhs)
+        ofs = 0
+        for b, (_, _, x_loc, emb, mask) in zip(group, systems):
+            d_b = delta[ofs:ofs + b.n_rows]
+            ofs += b.n_rows
+            pred_delta = jnp.einsum("nld,nd->nl", emb, d_b) * mask
+            pred = assemble.scatter_pred_update(pred, b, pred_delta,
+                                                add=True)
+            table = write_block(table, b, s, e, x_loc + d_b)
     return table, pred
 
 

@@ -51,7 +51,7 @@ class CVaRMF(SaferFamilyMixin, Recommender):
             a, rhs = common.assemble_weighted_mean(
                 item_emb, gramian, b,
                 jnp.full((b.n_rows,), reg, jnp.float32),
-                cfg.uobs_weight, w)
+                cfg.uobs_weight, w, dtype=self.asm_dtype)
             u_rows = ue[b.row_ids]
             grad = jnp.einsum("nde,ne->nd", a, u_rows) - rhs
             ue = assemble.scatter_rows(ue, b.row_ids,
@@ -67,7 +67,8 @@ class CVaRMF(SaferFamilyMixin, Recommender):
         for b in dd.by_item:
             reg = self._item_reg(dd.item_reg, b.row_ids)
             a, rhs = common.assemble_weighted_item(
-                user_emb, w_gram, b, reg, cfg.uobs_weight, norm_dual)
+                user_emb, w_gram, b, reg, cfg.uobs_weight, norm_dual,
+                dtype=self.asm_dtype)
             v_rows = v[b.row_ids]
             grad = jnp.einsum("nde,ne->nd", a, v_rows) - rhs
             v = assemble.scatter_rows(v, b.row_ids,
@@ -115,6 +116,7 @@ class CVaRMF(SaferFamilyMixin, Recommender):
             return common.assemble_weighted_mean(
                 state.item_emb, state.item_gramian, b,
                 jnp.full((b.n_rows,), reg, jnp.float32),
-                cfg.uobs_weight, jnp.ones((b.n_rows,), jnp.float32))
+                cfg.uobs_weight, jnp.ones((b.n_rows,), jnp.float32),
+                dtype=self.asm_dtype)
 
         return common.solve_sweep(ue, fold.by_user, assemble_fn)

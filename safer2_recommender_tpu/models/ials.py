@@ -41,7 +41,8 @@ class IALS(Recommender):
             reg = common.ials_reg(b.length, num_choices, cfg.l2_reg,
                                   cfg.l2_reg_exp, cfg.uobs_weight)
             return common.assemble_ials(table_other, gram, b, reg,
-                                        cfg.uobs_weight)
+                                        cfg.uobs_weight,
+                                        dtype=self.asm_dtype)
 
         return common.solve_sweep(table_self, buckets, assemble_fn,
                                   use_cg=cfg.use_cg,

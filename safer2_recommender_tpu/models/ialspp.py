@@ -55,7 +55,7 @@ class IALSpp(Recommender):
                                   cfg.l2_reg_exp, cfg.uobs_weight)
             return common.block_assemble_unweighted(
                 table_self, other_loc, pred, b, s, e, g_loc, g_lg,
-                reg, cfg.uobs_weight)
+                reg, cfg.uobs_weight, dtype=self.asm_dtype)
 
         return common.block_solve_sweep(table_self, pred, buckets,
                                         assemble_fn, s, e)

@@ -60,7 +60,7 @@ class SAFER2(SaferFamilyMixin, Recommender):
             return common.assemble_weighted_mean(
                 item_emb, gramian, b,
                 jnp.full((b.n_rows,), reg, jnp.float32),
-                cfg.uobs_weight, w)
+                cfg.uobs_weight, w, dtype=self.asm_dtype)
 
         return common.solve_sweep(ue, buckets, assemble_fn,
                                   use_cg=cfg.use_cg,
@@ -79,7 +79,8 @@ class SAFER2(SaferFamilyMixin, Recommender):
         def assemble_fn(b):
             reg = self._item_reg(dd.item_reg, b.row_ids)
             return common.assemble_weighted_item(
-                user_emb, w_gram, b, reg, cfg.uobs_weight, norm_dual)
+                user_emb, w_gram, b, reg, cfg.uobs_weight, norm_dual,
+                dtype=self.asm_dtype)
 
         return common.solve_sweep(v, dd.by_item, assemble_fn,
                                   use_cg=cfg.use_cg,

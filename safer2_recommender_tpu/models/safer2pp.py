@@ -65,7 +65,7 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
             return common.block_assemble_user_safer(
                 u, v_loc, pred, b, s, e, g_loc, g_lg,
                 jnp.full((b.n_rows,), reg, jnp.float32),
-                cfg.uobs_weight, w)
+                cfg.uobs_weight, w, dtype=self.asm_dtype)
 
         return common.block_solve_sweep(u, pred, buckets, assemble_fn, s, e)
 
@@ -83,7 +83,7 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
             reg = self._item_reg(dd.item_reg, b.row_ids)
             return common.block_assemble_item_safer(
                 v, u_loc, pred, b, s, e, g_loc_w, g_lg_w, reg,
-                cfg.uobs_weight, norm_dual)
+                cfg.uobs_weight, norm_dual, dtype=self.asm_dtype)
 
         return common.block_solve_sweep(v, pred, dd.by_item, assemble_fn,
                                         s, e)

@@ -52,18 +52,21 @@ def row_gramians(emb: jax.Array, col_weight: Optional[jax.Array] = None,
     ``col_weight`` ([N, L]) applies per-interaction weights w (the
     reference multiplies factors by sqrt(w) before rankUpdate,
     safer2.h:192; weighting one einsum operand is the same quadratic
-    form without the sqrt round-trip).
+    form without the sqrt round-trip). The weight is cast to the
+    embedding dtype so a bf16 assembly stays bf16 on the MXU.
     """
-    lhs = emb if col_weight is None else emb * col_weight[..., None]
+    lhs = emb if col_weight is None else (
+        emb * col_weight[..., None].astype(emb.dtype))
     return jnp.einsum("nld,nle->nde", lhs, emb,
                       preferred_element_type=out_dtype)
 
 
 def row_sums(emb: jax.Array, col_weight: Optional[jax.Array] = None,
              out_dtype=jnp.float32) -> jax.Array:
-    """Batched rhs accumulation: [N, L, d] -> [N, d]."""
-    lhs = emb if col_weight is None else emb * col_weight[..., None]
-    return jnp.sum(lhs, axis=1).astype(out_dtype)
+    """Batched rhs accumulation: [N, L, d] -> [N, d] (f32 accumulation)."""
+    lhs = emb if col_weight is None else (
+        emb * col_weight[..., None].astype(emb.dtype))
+    return jnp.sum(lhs.astype(out_dtype), axis=1)
 
 
 def add_ridge(a: jax.Array, reg: jax.Array) -> jax.Array:

@@ -79,3 +79,30 @@ def test_fold_in_data(tiny):
         expected = np.sort(te.item_ids[te.user_ids == uid])
         got = np.sort(gt[row, : gt_len[row]])
         assert np.array_equal(got, expected)
+
+
+def test_bucket_splitting_matches_unsplit():
+    # Tiny memory budget forces bucket row-chunking; training must be
+    # numerically identical to the unsplit layout.
+    import jax.numpy as jnp
+
+    from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    pairs = np.unique(np.stack([rng.integers(0, 150, n),
+                                rng.integers(0, 80, n)], 1), axis=0)
+    ds = Dataset(pairs[:, 0].astype(np.int32), pairs[:, 1].astype(np.int32))
+
+    dd_full = DeviceData.build(ds)
+    dd_split = DeviceData.build(ds, dim=16,
+                                memory_budget_bytes=64 * 16 * 16 * 4 * 3)
+    assert len(dd_split.by_user) > len(dd_full.by_user)
+
+    outs = []
+    for dd in (dd_full, dd_split):
+        m = get_model("ials", Config(dim=16, seed=7), ds.num_users,
+                      ds.num_items)
+        m.train_epoch(dd)
+        outs.append(np.asarray(m.state.user_emb))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-5)
