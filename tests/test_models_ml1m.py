@@ -97,3 +97,21 @@ def test_safer2pp_ml1m(ml1m):
     ndcg20, _ = _train_and_eval("safer2pp", cfg, ml1m, epochs=10,
                                 check_mean_weight=0.3)
     assert ndcg20 >= 0.2
+
+
+def test_safer2pp_snr_ml1m(ml1m):
+    # SNR variant: sampling ratio 0.5 (safer2pp_test.cc:37-61 analogue)
+    cfg = Config(**_SAFER_CFG, block_size=4, use_snr=True,
+                 sampling_ratio=0.5)
+    ndcg20, _ = _train_and_eval("safer2pp", cfg, ml1m, epochs=10,
+                                check_mean_weight=0.3)
+    assert ndcg20 >= 0.2
+
+
+def test_safer2pp_epanechnikov_ml1m(ml1m):
+    # Epanechnikov kernel, bandwidth 0.7 (safer2pp_test.cc:63-86 analogue)
+    cfg = Config(**{**_SAFER_CFG, "bandwidth": 0.7}, block_size=4,
+                 use_epanechnikov=True)
+    ndcg20, _ = _train_and_eval("safer2pp", cfg, ml1m, epochs=10,
+                                check_mean_weight=0.3)
+    assert ndcg20 >= 0.2
