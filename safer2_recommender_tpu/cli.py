@@ -77,6 +77,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--checkpoint_every", type=int, default=0)
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler device trace of the "
+                        "training loop to this directory (the reference "
+                        "only has wall-clock timers, run_model.cc:258-266)")
+    p.add_argument("--epochs_per_dispatch", type=int, default=1,
+                   help="chain this many epochs on-device per dispatch "
+                        "(lax.scan); >1 disables per-epoch stats lines "
+                        "but removes the per-call host round trip")
     return p
 
 
@@ -146,15 +154,26 @@ def main(argv=None) -> int:
         log.info("Epoch %d:", epoch)
         metrics.show()
 
-    for epoch in range(start_epoch, cfg.epochs):
-        with Timer() as t:
-            model.train_epoch(dd)
-        log.info("Epoch: %d, Timer: Train=%d", epoch, t.ms)
-        if args.print_evaluation_stats:
-            evaluate(epoch)
-        if ckpt is not None and args.checkpoint_every and (
-                (epoch + 1) % args.checkpoint_every == 0):
-            ckpt.save(model.state, epoch + 1)
+    import contextlib
+
+    prof = (jax.profiler.trace(args.profile_dir) if args.profile_dir
+            else contextlib.nullcontext())
+    step = max(1, args.epochs_per_dispatch)
+    with prof:
+        for epoch in range(start_epoch, cfg.epochs, step):
+            n = min(step, cfg.epochs - epoch)
+            with Timer() as t:
+                if n == 1:
+                    model.train_epoch(dd)
+                else:
+                    model.train_epochs(dd, n)
+            log.info("Epoch: %d, Timer: Train=%d", epoch + n - 1,
+                     t.ms // n)
+            if args.print_evaluation_stats:
+                evaluate(epoch + n - 1)
+            if ckpt is not None and args.checkpoint_every and (
+                    (epoch + n) % args.checkpoint_every == 0):
+                ckpt.save(model.state, epoch + n)
 
     log.info("Validation Results")
     evaluate(cfg.epochs)

@@ -122,7 +122,10 @@ def _chol_inverse_leaf(a: jax.Array) -> jax.Array:
 
 
 def _use_leaf_kernel() -> bool:
-    return jax.default_backend() == "tpu"
+    # Single-device TPU only: a pallas_call is not auto-partitionable
+    # under SPMD, while the pure-XLA recursion shards cleanly over the
+    # batch. (Pod-scale runs can re-enable via shard_map once wrapped.)
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def _chol_inverse_rec(a: jax.Array) -> jax.Array:
