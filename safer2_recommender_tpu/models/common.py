@@ -17,6 +17,7 @@ Conventions:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import jax
@@ -69,7 +70,14 @@ def solve_sweep(table: jax.Array, buckets, assemble_fn, *,
     if not buckets:
         return table
     dim = table.shape[1]
+    token = jnp.int32(0)
     for group in _solve_groups(buckets, dim):
+        # The groups' assemblies only read the frozen other-side table, so
+        # nothing orders them and XLA schedules every group's gathered
+        # [rows, L, d] slab live at once (HBM OOM at dim 512). Tie each
+        # group's gather to the previous group's solution.
+        group = [dataclasses.replace(b, col_ids=b.col_ids + token)
+                 for b in group]
         systems = [assemble_fn(b) for b in group]
         if len(group) == 1:
             a, rhs = systems[0]
@@ -78,6 +86,7 @@ def solve_sweep(table: jax.Array, buckets, assemble_fn, *,
             rhs = jnp.concatenate([s[1] for s in systems], axis=0)
         x = solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
                         max_iters=cg_iters)
+        token = (x[0, 0] == jnp.inf).astype(jnp.int32)   # always 0
         ofs = 0
         for b in group:
             table = assemble.scatter_rows(table, b.row_ids,
