@@ -261,7 +261,9 @@ def _bucket_budgets(dim: int, budget_bytes: int) -> Tuple[int, int]:
     product)."""
     if dim <= 0:
         return 0, 0
-    max_rows = max(budget_bytes // (3 * dim * dim * 4), 64)
+    # One [rows, d, d] slab of ``budget`` bytes; solver copies live in the
+    # remaining HBM headroom (groups are serialized, models/common.py).
+    max_rows = max(budget_bytes // (dim * dim * 4), 64)
     max_tuples = max(budget_bytes // (2 * dim * 4), 4096)
     return int(max_rows), int(max_tuples)
 

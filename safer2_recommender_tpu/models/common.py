@@ -40,7 +40,7 @@ def safe_len(bucket: Bucket) -> jax.Array:
 def _solve_groups(buckets, dim: int, budget_bytes: int = 2 << 30):
     """Greedily group buckets so one solve batch's [rows, d, d] systems
     (plus ~2 live solver copies) stay under the memory budget."""
-    cap = max(budget_bytes // (3 * dim * dim * 4), 64)
+    cap = max(budget_bytes // (dim * dim * 4), 64)
     groups, cur, rows = [], [], 0
     for b in buckets:
         if cur and rows + b.n_rows > cap:
