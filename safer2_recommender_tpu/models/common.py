@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from safer2_recommender_tpu.data.dataset import Bucket
-from safer2_recommender_tpu.ops import assemble, solve
+from safer2_recommender_tpu.ops import assemble, solve, woodbury
+from safer2_recommender_tpu.ops.woodbury import SolveParams
 
 
 def safe_len(bucket: Bucket) -> jax.Array:
@@ -53,32 +54,70 @@ def _solve_groups(buckets, dim: int, budget_bytes: int = 2 << 30):
     return groups
 
 
-def solve_sweep(table: jax.Array, buckets, assemble_fn, *,
-                use_cg: bool = False, cg_tol: float = 1e-10,
-                cg_iters: int = 100) -> jax.Array:
-    """One full ALS sweep: assemble the buckets' normal equations, solve
-    them in as few batched calls as the memory budget allows, scatter the
-    rows back.
+def assemble_from_params(p: SolveParams, gram: jax.Array
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Direct normal equations from the shared parameterization:
 
-    Concatenating across buckets before the solve keeps the solver's op
-    graph in the program once per *group* rather than once per bucket
-    (the per-bucket form replicated the ~200-op block-Cholesky recursion
-    9x and host-side dispatch of that graph dominated small-dim epochs);
-    the grouping cap keeps the concatenated [rows, d, d] slab bounded at
-    MSD scale. ``assemble_fn(bucket) -> (a [n,d,d], rhs [n,d])``.
+    A = c0*I + c1*G + emb^T diag(wt) emb ;  rhs = emb^T r.
+    """
+    a = assemble.row_gramians(p.emb, col_weight=p.wt)
+    a = a + p.c1[:, None, None] * gram[None].astype(a.dtype)
+    a = assemble.add_ridge(a, p.c0)
+    rhs = assemble.row_sums(p.emb, col_weight=p.r)
+    return a, rhs
+
+
+def grad_from_params(p: SolveParams, gram: jax.Array,
+                     x: jax.Array) -> jax.Array:
+    """A @ x - rhs via matvecs (no [N, d, d] materialization) — the
+    CVaR-MF subgradient (reference cvar_mf.h:133, :179)."""
+    vx = jnp.einsum("nld,nd->nl", p.emb, x.astype(p.emb.dtype),
+                    preferred_element_type=jnp.float32)
+    ax = p.c0[:, None] * x + p.c1[:, None] * (x @ gram)
+    ax = ax + jnp.einsum("nld,nl->nd", p.emb,
+                         (p.wt * vx).astype(p.emb.dtype),
+                         preferred_element_type=jnp.float32)
+    return ax - assemble.row_sums(p.emb, col_weight=p.r)
+
+
+def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
+                eig=None, use_cg: bool = False, cg_tol: float = 1e-10,
+                cg_iters: int = 100) -> jax.Array:
+    """One full ALS sweep over all buckets; scatter the rows back.
+
+    ``params_fn(bucket) -> SolveParams``. Buckets whose history width is
+    at most dim/2 take the Woodbury path when ``eig`` (the shared
+    Gramian's eigendecomposition) is provided — an L x L solve instead of
+    d x d (ops/woodbury.py). The rest assemble the d x d normal equations
+    and use the direct batched block-Cholesky, concatenated in as few
+    budget-capped groups as possible: the solver's op graph appears once
+    per group (the per-bucket form replicated the ~200-op recursion 9x
+    and host dispatch of it dominated small-dim epochs), and each group's
+    gather is data-dependent on the previous group's solution so XLA
+    cannot schedule every [rows, L, d] slab live at once (HBM OOM at
+    dim 512 otherwise).
     """
     if not buckets:
         return table
     dim = table.shape[1]
     token = jnp.int32(0)
-    for group in _solve_groups(buckets, dim):
-        # The groups' assemblies only read the frozen other-side table, so
-        # nothing orders them and XLA schedules every group's gathered
-        # [rows, L, d] slab live at once (HBM OOM at dim 512). Tie each
-        # group's gather to the previous group's solution.
-        group = [dataclasses.replace(b, col_ids=b.col_ids + token)
-                 for b in group]
-        systems = [assemble_fn(b) for b in group]
+
+    def tie(b):
+        return dataclasses.replace(b, col_ids=b.col_ids + token)
+
+    direct = [b for b in buckets
+              if eig is None or not woodbury.applicable(b.width, dim)]
+    wood = [b for b in buckets
+            if eig is not None and woodbury.applicable(b.width, dim)]
+
+    for b in wood:
+        x = woodbury.solve(params_fn(tie(b)), *eig)
+        token = (x[0, 0] == jnp.inf).astype(jnp.int32)   # always 0
+        table = assemble.scatter_rows(table, b.row_ids, x)
+
+    for group in _solve_groups(direct, dim):
+        systems = [assemble_from_params(params_fn(tie(b)), gram)
+                   for b in group]
         if len(group) == 1:
             a, rhs = systems[0]
         else:
@@ -95,51 +134,43 @@ def solve_sweep(table: jax.Array, buckets, assemble_fn, *,
     return table
 
 
-def assemble_ials(table_other: jax.Array, gramian: jax.Array,
-                  bucket: Bucket, reg_rows: jax.Array, uobs: float,
-                  dtype=None) -> Tuple[jax.Array, jax.Array]:
+def params_ials(table_other: jax.Array, bucket: Bucket,
+                reg_rows: jax.Array, uobs: float,
+                dtype=None) -> SolveParams:
     """iALS normal equations (reference ials.h:88-144):
 
     A = uobs * G + reg * I + sum_h v v^T ;  rhs = sum_h v.
     """
-    emb, _ = assemble.gather_history(table_other, bucket, dtype)
-    a = assemble.row_gramians(emb)
-    rhs = assemble.row_sums(emb)
-    a = a + uobs * gramian[None].astype(a.dtype)
-    a = assemble.add_ridge(a, reg_rows)
-    return a, rhs
+    emb, mask = assemble.gather_history(table_other, bucket, dtype)
+    c1 = jnp.full((bucket.n_rows,), uobs, jnp.float32)
+    return SolveParams(emb=emb, wt=mask, r=mask, c0=reg_rows, c1=c1)
 
 
-def assemble_weighted_mean(table_other: jax.Array, gramian: jax.Array,
-                           bucket: Bucket, reg_rows: jax.Array,
-                           uobs: float, row_weight: jax.Array,
-                           dtype=None) -> Tuple[jax.Array, jax.Array]:
+def params_weighted_mean(table_other: jax.Array, bucket: Bucket,
+                         reg_rows: jax.Array, uobs: float,
+                         row_weight: jax.Array,
+                         dtype=None) -> SolveParams:
     """SAFER-family user-side system (reference safer2.h:104-163,
     erm_mf.h:91-151):
 
     A = w * (sum_h v v^T / |H| + uobs * G) + reg * I
     rhs = (w / |H|) * sum_h v
     """
-    emb, _ = assemble.gather_history(table_other, bucket, dtype)
-    inv_len = 1.0 / safe_len(bucket)
-    w = row_weight
-    a = assemble.row_gramians(emb) * inv_len[:, None, None]
-    a = (a + uobs * gramian[None].astype(a.dtype)) * w[:, None, None]
-    a = assemble.add_ridge(a, reg_rows)
-    rhs = assemble.row_sums(emb) * (w * inv_len)[:, None]
-    return a, rhs
+    emb, mask = assemble.gather_history(table_other, bucket, dtype)
+    coef = row_weight / safe_len(bucket)          # w / |H|
+    wt = coef[:, None] * mask
+    return SolveParams(emb=emb, wt=wt, r=wt, c0=reg_rows,
+                       c1=row_weight * uobs)
 
 
-
-
-def assemble_weighted_item(table_other: jax.Array, w_gramian: jax.Array,
-                           bucket: Bucket, reg_rows: jax.Array, uobs: float,
-                           norm_dual: jax.Array,
-                           dtype=None) -> Tuple[jax.Array, jax.Array]:
+def params_weighted_item(table_other: jax.Array, bucket: Bucket,
+                         reg_rows: jax.Array, uobs: float,
+                         norm_dual: jax.Array,
+                         dtype=None) -> SolveParams:
     """SAFER-family item-side system (reference safer2.h:166-221,
-    erm_mf.h:153-210):
+    erm_mf.h:153-210), against the dual-weighted Gramian U^T diag(z) U:
 
-    A = uobs * (U^T diag(z) U) + reg * I + sum_h wt_u u u^T
+    A = uobs * G_w + reg * I + sum_h wt_u u u^T
     rhs = sum_h wt_u u            with wt_u = z_u / |H_u|.
 
     The reference's tail rankUpdate bug (safer2.h:203) is intentionally
@@ -147,11 +178,8 @@ def assemble_weighted_item(table_other: jax.Array, w_gramian: jax.Array,
     """
     emb, mask = assemble.gather_history(table_other, bucket, dtype)
     wt = norm_dual[bucket.col_ids] * mask                     # [N, L]
-    a = assemble.row_gramians(emb, col_weight=wt)
-    a = a + uobs * w_gramian[None].astype(a.dtype)
-    a = assemble.add_ridge(a, reg_rows)
-    rhs = assemble.row_sums(emb, col_weight=wt)
-    return a, rhs
+    c1 = jnp.full((bucket.n_rows,), uobs, jnp.float32)
+    return SolveParams(emb=emb, wt=wt, r=wt, c0=reg_rows, c1=c1)
 
 
 

@@ -20,7 +20,7 @@ from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
 from safer2_recommender_tpu.models.base import (MFState, Recommender,
                                                   SaferFamilyMixin)
-from safer2_recommender_tpu.ops import assemble, quantile
+from safer2_recommender_tpu.ops import assemble, quantile, woodbury
 
 
 class CVaRMF(SaferFamilyMixin, Recommender):
@@ -48,12 +48,11 @@ class CVaRMF(SaferFamilyMixin, Recommender):
         reg = self._user_reg()
         for b in buckets:
             w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
-            a, rhs = common.assemble_weighted_mean(
-                item_emb, gramian, b,
-                jnp.full((b.n_rows,), reg, jnp.float32),
+            p = common.params_weighted_mean(
+                item_emb, b, jnp.full((b.n_rows,), reg, jnp.float32),
                 cfg.uobs_weight, w, dtype=self.asm_dtype)
             u_rows = ue[b.row_ids]
-            grad = jnp.einsum("nde,ne->nd", a, u_rows) - rhs
+            grad = common.grad_from_params(p, gramian, u_rows)
             ue = assemble.scatter_rows(ue, b.row_ids,
                                        u_rows - cfg.stepsize * grad)
         return ue
@@ -66,11 +65,11 @@ class CVaRMF(SaferFamilyMixin, Recommender):
                               0.0)
         for b in dd.by_item:
             reg = self._item_reg(dd.item_reg, b.row_ids)
-            a, rhs = common.assemble_weighted_item(
-                user_emb, w_gram, b, reg, cfg.uobs_weight, norm_dual,
+            p = common.params_weighted_item(
+                user_emb, b, reg, cfg.uobs_weight, norm_dual,
                 dtype=self.asm_dtype)
             v_rows = v[b.row_ids]
-            grad = jnp.einsum("nde,ne->nd", a, v_rows) - rhs
+            grad = common.grad_from_params(p, w_gram, v_rows)
             v = assemble.scatter_rows(v, b.row_ids,
                                       v_rows - cfg.stepsize * grad)
         return v
@@ -112,11 +111,15 @@ class CVaRMF(SaferFamilyMixin, Recommender):
         ue = jnp.zeros((fold.n_pad, cfg.dim), jnp.float32)
         reg = self._user_reg()
 
-        def assemble_fn(b):
-            return common.assemble_weighted_mean(
-                state.item_emb, state.item_gramian, b,
+        eig = woodbury.maybe_eigh(state.item_gramian, cfg.dim,
+                                  use_cg=False)
+
+        def params_fn(b):
+            return common.params_weighted_mean(
+                state.item_emb, b,
                 jnp.full((b.n_rows,), reg, jnp.float32),
                 cfg.uobs_weight, jnp.ones((b.n_rows,), jnp.float32),
                 dtype=self.asm_dtype)
 
-        return common.solve_sweep(ue, fold.by_user, assemble_fn)
+        return common.solve_sweep(ue, fold.by_user, params_fn,
+                                  state.item_gramian, eig=eig)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
 from safer2_recommender_tpu.models.base import MFState, Recommender
+from safer2_recommender_tpu.ops import woodbury
 
 
 class IALS(Recommender):
@@ -36,16 +37,17 @@ class IALS(Recommender):
     def _sweep(self, table_self, table_other, buckets, num_choices):
         cfg = self.cfg
         gram = (table_other.T @ table_other).astype(jnp.float32)
+        eig = woodbury.maybe_eigh(gram, cfg.dim, use_cg=cfg.use_cg)
 
-        def assemble_fn(b):
+        def params_fn(b):
             reg = common.ials_reg(b.length, num_choices, cfg.l2_reg,
                                   cfg.l2_reg_exp, cfg.uobs_weight)
-            return common.assemble_ials(table_other, gram, b, reg,
-                                        cfg.uobs_weight,
-                                        dtype=self.asm_dtype)
+            return common.params_ials(table_other, b, reg,
+                                      cfg.uobs_weight,
+                                      dtype=self.asm_dtype)
 
-        return common.solve_sweep(table_self, buckets, assemble_fn,
-                                  use_cg=cfg.use_cg,
+        return common.solve_sweep(table_self, buckets, params_fn, gram,
+                                  eig=eig, use_cg=cfg.use_cg,
                                   cg_tol=cfg.cg_error_tolerance,
                                   cg_iters=cfg.cg_max_iterations)
 

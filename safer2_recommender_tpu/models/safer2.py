@@ -27,7 +27,7 @@ from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
 from safer2_recommender_tpu.models.base import (MFState, Recommender,
                                                   SaferFamilyMixin)
-from safer2_recommender_tpu.ops import quantile, smoothing
+from safer2_recommender_tpu.ops import quantile, smoothing, woodbury
 
 
 class SAFER2(SaferFamilyMixin, Recommender):
@@ -54,16 +54,16 @@ class SAFER2(SaferFamilyMixin, Recommender):
     def _step_u(self, ue, item_emb, gramian, buckets, dual):
         cfg = self.cfg
         reg = self._user_reg()
+        eig = woodbury.maybe_eigh(gramian, cfg.dim, use_cg=cfg.use_cg)
 
-        def assemble_fn(b):
+        def params_fn(b):
             w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
-            return common.assemble_weighted_mean(
-                item_emb, gramian, b,
-                jnp.full((b.n_rows,), reg, jnp.float32),
+            return common.params_weighted_mean(
+                item_emb, b, jnp.full((b.n_rows,), reg, jnp.float32),
                 cfg.uobs_weight, w, dtype=self.asm_dtype)
 
-        return common.solve_sweep(ue, buckets, assemble_fn,
-                                  use_cg=cfg.use_cg,
+        return common.solve_sweep(ue, buckets, params_fn, gramian,
+                                  eig=eig, use_cg=cfg.use_cg,
                                   cg_tol=cfg.cg_error_tolerance,
                                   cg_iters=cfg.cg_max_iterations)
 
@@ -76,14 +76,16 @@ class SAFER2(SaferFamilyMixin, Recommender):
                               dual / jnp.maximum(dd.user_hist_size, 1.0),
                               0.0)
 
-        def assemble_fn(b):
+        eig = woodbury.maybe_eigh(w_gram, cfg.dim, use_cg=cfg.use_cg)
+
+        def params_fn(b):
             reg = self._item_reg(dd.item_reg, b.row_ids)
-            return common.assemble_weighted_item(
-                user_emb, w_gram, b, reg, cfg.uobs_weight, norm_dual,
+            return common.params_weighted_item(
+                user_emb, b, reg, cfg.uobs_weight, norm_dual,
                 dtype=self.asm_dtype)
 
-        return common.solve_sweep(v, dd.by_item, assemble_fn,
-                                  use_cg=cfg.use_cg,
+        return common.solve_sweep(v, dd.by_item, params_fn, w_gram,
+                                  eig=eig, use_cg=cfg.use_cg,
                                   cg_tol=cfg.cg_error_tolerance,
                                   cg_iters=cfg.cg_max_iterations)
 

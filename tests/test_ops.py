@@ -216,3 +216,66 @@ def test_chol_inverse_lower_triangular():
     eye = np.einsum("nij,njk->nik", inv, l)
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(12), eye.shape),
                                atol=5e-4)
+
+
+# --------------------------------------------------------------------------
+# Woodbury solves (ops/woodbury.py)
+# --------------------------------------------------------------------------
+
+
+def _woodbury_case(rng, n=12, l=6, d=128, uniform_wt=False):
+    from safer2_recommender_tpu.ops.woodbury import SolveParams
+
+    g = rng.normal(size=(d, d)).astype(np.float32)
+    gram = jnp.asarray(g @ g.T / d)
+    emb = rng.normal(size=(n, l, d)).astype(np.float32)
+    length = rng.integers(1, l + 1, size=n)
+    mask = (np.arange(l)[None, :] < length[:, None]).astype(np.float32)
+    emb = emb * mask[:, :, None]
+    wt = mask if uniform_wt else (
+        rng.uniform(0.05, 2.0, size=(n, l)).astype(np.float32) * mask)
+    r = rng.normal(size=(n, l)).astype(np.float32) * mask
+    c0 = rng.uniform(0.01, 0.1, size=n).astype(np.float32)
+    c1 = rng.uniform(0.001, 0.05, size=n).astype(np.float32)
+    p = SolveParams(emb=jnp.asarray(emb), wt=jnp.asarray(wt),
+                    r=jnp.asarray(r), c0=jnp.asarray(c0),
+                    c1=jnp.asarray(c1))
+    return p, gram
+
+
+@pytest.mark.parametrize("uniform_wt", [True, False])
+def test_woodbury_matches_direct(uniform_wt):
+    from safer2_recommender_tpu.models import common
+    from safer2_recommender_tpu.ops import woodbury
+
+    rng = np.random.default_rng(0)
+    p, gram = _woodbury_case(rng, uniform_wt=uniform_wt)
+    a, rhs = common.assemble_from_params(p, gram)
+    want = np.linalg.solve(np.asarray(a), np.asarray(rhs)[..., None])[..., 0]
+
+    eig = woodbury.maybe_eigh(gram, 128, use_cg=False)
+    assert eig is not None
+    got = np.asarray(woodbury.solve(p, *eig))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+def test_woodbury_gating():
+    from safer2_recommender_tpu.ops import woodbury
+
+    assert woodbury.maybe_eigh(jnp.eye(8), 8, use_cg=False) is None
+    assert woodbury.maybe_eigh(jnp.eye(128), 128, use_cg=True) is None
+    assert woodbury.applicable(64, 128)
+    assert not woodbury.applicable(65, 128)
+
+
+def test_grad_from_params_matches_dense():
+    from safer2_recommender_tpu.models import common
+
+    rng = np.random.default_rng(1)
+    p, gram = _woodbury_case(rng, d=32)
+    a, rhs = common.assemble_from_params(p, gram)
+    x = jnp.asarray(rng.normal(size=(12, 32)).astype(np.float32))
+    want = np.einsum("nde,ne->nd", np.asarray(a), np.asarray(x)) - \
+        np.asarray(rhs)
+    got = np.asarray(common.grad_from_params(p, gram, x))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
