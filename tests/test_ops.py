@@ -279,3 +279,35 @@ def test_grad_from_params_matches_dense():
         np.asarray(rhs)
     got = np.asarray(common.grad_from_params(p, gram, x))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_solve_sweep_woodbury_matches_direct_path():
+    # Same sweep through solve_sweep with and without the eigendecomposition
+    # (dim=128 so the Woodbury gate is open; all histories < 64).
+    from safer2_recommender_tpu import Dataset, DeviceData
+    from safer2_recommender_tpu.models import common
+    from safer2_recommender_tpu.ops import woodbury
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    pairs = np.unique(np.stack([rng.integers(0, 200, n),
+                                rng.integers(0, 100, n)], 1), axis=0)
+    ds = Dataset(pairs[:, 0].astype(np.int32), pairs[:, 1].astype(np.int32))
+    dd = DeviceData.build(ds)
+    d = 128
+    key = jax.random.PRNGKey(0)
+    table_other = jax.random.normal(key, (ds.num_items, d), jnp.float32) * 0.1
+    gram = table_other.T @ table_other
+    eig = woodbury.maybe_eigh(gram, d, use_cg=False)
+    assert eig is not None
+
+    def params_fn(b):
+        reg = common.ials_reg(b.length, ds.num_items, 0.004, 1.0, 0.1)
+        return common.params_ials(table_other, b, reg, 0.1)
+
+    z = jnp.zeros((ds.num_users, d), jnp.float32)
+    x_wood = np.asarray(common.solve_sweep(z, dd.by_user, params_fn, gram,
+                                           eig=eig))
+    x_direct = np.asarray(common.solve_sweep(z, dd.by_user, params_fn, gram,
+                                             eig=None))
+    np.testing.assert_allclose(x_wood, x_direct, rtol=5e-3, atol=5e-4)
