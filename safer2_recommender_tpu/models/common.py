@@ -71,12 +71,9 @@ def grad_from_params(p: SolveParams, gram: jax.Array,
                      x: jax.Array) -> jax.Array:
     """A @ x - rhs via matvecs (no [N, d, d] materialization) — the
     CVaR-MF subgradient (reference cvar_mf.h:133, :179)."""
-    vx = jnp.einsum("nld,nd->nl", p.emb, x.astype(p.emb.dtype),
-                    preferred_element_type=jnp.float32)
+    vx = assemble.rowwise_dot(p.emb, x)
     ax = p.c0[:, None] * x + p.c1[:, None] * (x @ gram)
-    ax = ax + jnp.einsum("nld,nl->nd", p.emb,
-                         (p.wt * vx).astype(p.emb.dtype),
-                         preferred_element_type=jnp.float32)
+    ax = ax + assemble.row_sums(p.emb, col_weight=p.wt * vx)
     return ax - assemble.row_sums(p.emb, col_weight=p.r)
 
 
@@ -214,7 +211,7 @@ def block_solve_sweep(table: jax.Array, pred: jax.Array, buckets,
         for b, (_, _, x_loc, emb, mask) in zip(group, systems):
             d_b = delta[ofs:ofs + b.n_rows]
             ofs += b.n_rows
-            pred_delta = jnp.einsum("nld,nd->nl", emb, d_b) * mask
+            pred_delta = assemble.rowwise_dot(emb, d_b) * mask
             pred = assemble.scatter_pred_update(pred, b, pred_delta,
                                                 add=True)
             table = write_block(table, b, s, e, x_loc + d_b)
@@ -307,21 +304,21 @@ def write_block(table: jax.Array, bucket: Bucket, s: int, e: int,
 
 
 def predict_all(user_emb: jax.Array, item_emb: jax.Array, by_user,
-                nnz: int) -> jax.Array:
+                nnz: int, dtype=None) -> jax.Array:
     """Flat prediction cache over all tuples (reference ialspp.h:469-517)."""
     pred = jnp.zeros((nnz,), dtype=jnp.float32)
     for b in by_user:
-        emb, mask = assemble.gather_history(item_emb, b)
+        emb, mask = assemble.gather_history(item_emb, b, dtype)
         u = user_emb[b.row_ids]
-        vals = jnp.einsum("nld,nd->nl", emb, u) * mask
+        vals = assemble.rowwise_dot(emb, u) * mask
         pred = assemble.scatter_pred_update(pred, b, vals, add=False)
     return pred
 
 
 def user_losses(user_emb: jax.Array, item_emb: jax.Array,
                 gramian: jax.Array, by_user, num_users: int, uobs: float,
-                *, halve: bool, pred: Optional[jax.Array] = None
-                ) -> jax.Array:
+                *, halve: bool, pred: Optional[jax.Array] = None,
+                dtype=None) -> jax.Array:
     """Per-user losses (reference ials.h:70-86 / safer2.h:85-101):
 
     L_u = sum_h (v^T u - 1)^2 / |H_u| + uobs * u^T G u   [ / 2 if halve ]
@@ -334,8 +331,8 @@ def user_losses(user_emb: jax.Array, item_emb: jax.Array,
         u = user_emb[b.row_ids]
         mask = assemble.history_mask(b)
         if pred is None:
-            emb, mask = assemble.gather_history(item_emb, b)
-            p = jnp.einsum("nld,nd->nl", emb, u)
+            emb, mask = assemble.gather_history(item_emb, b, dtype)
+            p = assemble.rowwise_dot(emb, u)
         else:
             p = assemble.gather_pred(pred, b, mask)
         obs = jnp.sum(jnp.square(p - 1.0) * mask, axis=1) / safe_len(b)

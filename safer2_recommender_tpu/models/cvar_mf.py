@@ -88,7 +88,7 @@ class CVaRMF(SaferFamilyMixin, Recommender):
         v = self._grad_step_v(state.item_emb, u_prev, dd, dual)
         gram = v.T @ v
         loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
-                                  cfg.uobs_weight, halve=True)
+                                  cfg.uobs_weight, halve=True, dtype=self.asm_dtype)
         xi = quantile.exact_quantile(loss, cfg.alpha)
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
                              user_loss=loss, dual_weight=dual, xi=xi)
@@ -99,7 +99,7 @@ class CVaRMF(SaferFamilyMixin, Recommender):
         def _init(state: MFState):
             loss = common.user_losses(
                 state.user_emb, state.item_emb, state.item_gramian,
-                dd.by_user, dd.num_users, self.cfg.uobs_weight, halve=True)
+                dd.by_user, dd.num_users, self.cfg.uobs_weight, halve=True, dtype=self.asm_dtype)
             return state.replace(user_loss=loss)
 
         self.state = _init(self.state)

@@ -86,7 +86,7 @@ class ERMMF(SaferFamilyMixin, Recommender):
         v = self._step_v(state.item_emb, u, dd, state.dual_weight)
         gram = v.T @ v
         loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
-                                  self.cfg.uobs_weight, halve=True)
+                                  self.cfg.uobs_weight, halve=True, dtype=self.asm_dtype)
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
                              user_loss=loss)
 

@@ -57,7 +57,7 @@ class IALS(Recommender):
         v = self._sweep(state.item_emb, u, dd.by_item, dd.num_users)
         gram = v.T @ v
         loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
-                                  self.cfg.uobs_weight, halve=False)
+                                  self.cfg.uobs_weight, halve=False, dtype=self.asm_dtype)
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
                              user_loss=loss)
 

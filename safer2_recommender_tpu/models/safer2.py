@@ -115,7 +115,7 @@ class SAFER2(SaferFamilyMixin, Recommender):
             gram = v.T @ v
             loss = common.user_losses(u, v, gram, dd.by_user,
                                       dd.num_users, cfg.uobs_weight,
-                                      halve=True)
+                                      halve=True, dtype=self.asm_dtype)
         key, sub = jax.random.split(state.key)
         xi = quantile.compute_xi(
             loss, state.xi, sub, nr_iterations=cfg.xi_iterations,
@@ -133,7 +133,7 @@ class SAFER2(SaferFamilyMixin, Recommender):
         def _init(state: MFState):
             loss = common.user_losses(
                 state.user_emb, state.item_emb, state.item_gramian,
-                dd.by_user, dd.num_users, self.cfg.uobs_weight, halve=True)
+                dd.by_user, dd.num_users, self.cfg.uobs_weight, halve=True, dtype=self.asm_dtype)
             key, sub = jax.random.split(state.key)
             xi = quantile.compute_xi(
                 loss, jnp.mean(loss), sub,

@@ -36,12 +36,15 @@ def gather_history(table: jax.Array, bucket: Bucket,
                    dtype=None) -> Tuple[jax.Array, jax.Array]:
     """Gather the other-side embedding rows for each history slot.
 
-    Returns (emb [N, L, d] *already masked*, mask [N, L]).
+    Returns (emb [N, L, d] *already masked*, mask [N, L]). When ``dtype``
+    is bf16 the TABLE is cast before the gather (XLA CSEs the cast across
+    a sweep's buckets), halving the random-row gather traffic — the
+    dominant epoch cost at large dim once the solves are fast.
     """
     mask = history_mask(bucket)
-    emb = table[bucket.col_ids] * mask[..., None]
     if dtype is not None:
-        emb = emb.astype(dtype)
+        table = table.astype(dtype)
+    emb = table[bucket.col_ids] * mask[..., None].astype(table.dtype)
     return emb, mask
 
 
@@ -67,6 +70,17 @@ def row_sums(emb: jax.Array, col_weight: Optional[jax.Array] = None,
     lhs = emb if col_weight is None else (
         emb * col_weight[..., None].astype(emb.dtype))
     return jnp.sum(lhs.astype(out_dtype), axis=1)
+
+
+def rowwise_dot(emb: jax.Array, vec: jax.Array) -> jax.Array:
+    """Per-slot dots: [N, L, d] x [N, d] -> [N, L].
+
+    Implemented as broadcast multiply + reduce instead of
+    ``einsum('nld,nd->nl')``: XLA lowers that einsum to a batched
+    per-element mat-vec whose fixed per-element MXU cost (~1us) dwarfs
+    the actual work for large N; the VPU form is traffic-bound instead.
+    """
+    return jnp.sum(emb * vec[:, None, :], axis=2)
 
 
 def add_ridge(a: jax.Array, reg: jax.Array) -> jax.Array:

@@ -85,11 +85,13 @@ def solve(p: SolveParams, q: jax.Array, lam: jax.Array) -> jax.Array:
                    wts_c, preferred_element_type=jnp.float32)
     k = k + jnp.eye(k.shape[-1], dtype=k.dtype)
 
-    rv = jnp.einsum("nl,nle->ne", p.r, w)                     # Q^T rhs
+    # matvec-like contractions as multiply+reduce (XLA's batched mat-vec
+    # lowering pays a fixed per-element MXU cost that dominates at scale)
+    rv = jnp.sum(w * p.r[:, :, None], axis=1)                 # Q^T rhs
     z = s * rv
-    u = jnp.einsum("nle,ne->nl", wts, z)
+    u = jnp.sum(wts * z[:, None, :], axis=2)
     y = block_chol.spd_solve(k, u)
-    wty = jnp.einsum("nle,nl->ne", wts, y)
+    wty = jnp.sum(wts * y[:, :, None], axis=1)
     out = z - s * wty
     return jax.lax.dot_general(
         out.astype(jnp.float32), q,
