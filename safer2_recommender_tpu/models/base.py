@@ -12,8 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
