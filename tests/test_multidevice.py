@@ -51,3 +51,26 @@ def test_sharded_bucket_row_counts_divisible(tiny, mesh):
     n_dev = jax.device_count()
     for b in dd.by_user + dd.by_item:
         assert b.row_ids.shape[0] % n_dev == 0
+
+
+def test_sharded_woodbury_matches_single_device(tiny, mesh):
+    # dim 128 opens the Woodbury gate (ops/woodbury.py MIN_DIM); the
+    # eigendecomposition is replicated while bucket rows stay sharded.
+    import jax.numpy as jnp
+
+    ds, _ = tiny
+    cfg = Config(dim=128)
+
+    m1 = get_model("safer2", cfg, ds.num_users, ds.num_items)
+    dd1 = DeviceData.build(ds, dim=128)
+    m1.initialize(dd1)
+    m1.train_epoch(dd1)
+
+    m2 = get_model("safer2", cfg, ds.num_users, ds.num_items, mesh=mesh)
+    dd2 = DeviceData.build(ds, mesh=mesh, dim=128)
+    m2.initialize(dd2)
+    m2.train_epoch(dd2)
+
+    np.testing.assert_allclose(np.asarray(m1.state.user_emb),
+                               np.asarray(m2.state.user_emb),
+                               rtol=5e-3, atol=5e-5)
