@@ -62,13 +62,16 @@ def _leaf_kernel(blk_ref, inv_ref, *, r: int):
     dimension, so the per-column masked updates waste nothing to tile
     padding (batch-major [N, r, r] tiles pad r up to 128 lanes — a 4-16x
     waste that made both XLA's lowering and a batch-major kernel slow).
-    One fused loop step j computes Cholesky column j and row j of the
-    inverse (row j of L is final by step j).
+    One fused step j computes Cholesky column j and row j of the inverse
+    (row j of L is final by step j). The column loop is fully UNROLLED
+    (static trip count): a ``fori_loop`` pays ~1.5us/step of loop plumbing
+    that dominated the kernel (measured 25.4 -> 15.5 ms at [70k, 32, 32]).
     """
     row_i = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)      # [r, 1]
 
-    def step(j, carry):
-        blk, inv = carry
+    blk = blk_ref[:]
+    inv = jnp.zeros_like(blk)
+    for j in range(r):
         oh = (row_i == j).astype(jnp.float32)                   # [r, 1]
         # --- Cholesky column j ---
         colv = jnp.sum(blk * oh[None, :, :], axis=1)            # [r, NL]
@@ -87,10 +90,6 @@ def _leaf_kernel(blk_ref, inv_ref, *, r: int):
         rowv = (oh - prod) * inv_piv
         keep_r = (1.0 - oh)[:, None, :]
         inv = inv * keep_r + rowv[None, :, :] * oh[:, None, :]
-        return blk, inv
-
-    blk0 = blk_ref[:]
-    _, inv = jax.lax.fori_loop(0, r, step, (blk0, jnp.zeros_like(blk0)))
     inv_ref[:] = inv
 
 
