@@ -64,8 +64,15 @@ def _leaf_kernel(blk_ref, inv_ref, *, r: int):
     waste that made both XLA's lowering and a batch-major kernel slow).
     One fused step j computes Cholesky column j and row j of the inverse
     (row j of L is final by step j). The column loop is fully UNROLLED
-    (static trip count): a ``fori_loop`` pays ~1.5us/step of loop plumbing
-    that dominated the kernel (measured 25.4 -> 15.5 ms at [70k, 32, 32]).
+    (static trip count), which buys two things over a ``fori_loop``:
+    no ~1.5us/step loop plumbing, and j is a Python int so column/row
+    extraction is a STATIC slice instead of a masked reduction, and the
+    rank-1 update fuses with the column write:
+
+        blk' = blk*(1-oh_c) + col (x) (oh - col*right)
+
+    Measured at [70k, 32, 32]: fori+masked 25.4 ms -> unrolled 15.5 ms
+    -> static-slice fused 7.2 ms.
     """
     row_i = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)      # [r, 1]
 
@@ -73,23 +80,23 @@ def _leaf_kernel(blk_ref, inv_ref, *, r: int):
     inv = jnp.zeros_like(blk)
     for j in range(r):
         oh = (row_i == j).astype(jnp.float32)                   # [r, 1]
-        # --- Cholesky column j ---
-        colv = jnp.sum(blk * oh[None, :, :], axis=1)            # [r, NL]
-        piv = jnp.sum(colv * oh, axis=0, keepdims=True)         # [1, NL]
-        inv_piv = jax.lax.rsqrt(jnp.maximum(piv, 1e-30))
+        right = (row_i > j).astype(jnp.float32)
         below = (row_i >= j).astype(jnp.float32)
-        col = colv * inv_piv * below                            # [r, NL]
-        right = (row_i > j).astype(jnp.float32)                 # col mask
-        blk = blk - col[:, None, :] * col[None, :, :] * right[None, :, :]
-        keep_c = (1.0 - oh)[None, :, :]
-        blk = blk * keep_c + col[:, None, :] * oh[None, :, :]
+        lt = (row_i < j).astype(jnp.float32)
+        keep = 1.0 - oh
+        # --- Cholesky column j (static slice; rows >= j kept) ---
+        colv = blk[:, j, :]                                     # [r, NL]
+        piv = colv[j:j + 1, :]                                  # [1, NL]
+        inv_piv = jax.lax.rsqrt(jnp.maximum(piv, 1e-30))
+        col = colv * inv_piv * below
+        # fused rank-1 trailing update + normalized-column write
+        m = oh - col * right                                    # [r, NL]
+        blk = blk * keep[None, :, :] + col[:, None, :] * m[None, :, :]
         # --- inverse row j: (e_j - L[j,:j] @ inv[:j]) / L[j,j] ---
-        lrow = jnp.sum(blk * oh[:, None, :], axis=0)            # [r, NL]
-        lrow = lrow * (row_i < j).astype(jnp.float32)           # cols < j
+        lrow = blk[j, :, :] * lt                                # [r, NL]
         prod = jnp.sum(inv * lrow[:, None, :], axis=0)          # [r, NL]
         rowv = (oh - prod) * inv_piv
-        keep_r = (1.0 - oh)[:, None, :]
-        inv = inv * keep_r + rowv[None, :, :] * oh[:, None, :]
+        inv = inv * keep[:, None, :] + rowv[None, :, :] * oh[:, None, :]
     inv_ref[:] = inv
 
 
