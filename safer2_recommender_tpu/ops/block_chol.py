@@ -100,8 +100,98 @@ def _leaf_kernel(blk_ref, inv_ref, *, r: int):
     inv_ref[:] = inv
 
 
+def _leaf_lane(at: jax.Array) -> jax.Array:
+    """Leaf on a lane-major [r, r, N] batch (N a multiple of _LEAF_LANES)."""
+    r, _, n = at.shape
+    nl = _LEAF_LANES
+    return pl.pallas_call(
+        functools.partial(_leaf_kernel, r=r),
+        grid=(n // nl,),
+        in_specs=[pl.BlockSpec((r, r, nl), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((r, r, nl), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, r, n), jnp.float32),
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * n * r ** 3 / 3),
+            bytes_accessed=int(2 * n * r * r * 4),
+            transcendentals=int(n * r),
+        ),
+    )(at)
+
+
+def _lane_matmul_kernel(a_ref, b_ref, o_ref, *, h: int, trans_b: bool):
+    """o = a @ b (or a @ b^T) per lane: [h, h, NL] operands.
+
+    Fully unrolled k-loop of broadcast FMAs on the VPU. XLA's batched
+    matmul at these shapes pays a fixed ~0.25-1us *per batch element*
+    (each element is a separate under-filled MXU pass); the lane-major
+    form amortizes over the 128-wide lane dimension instead.
+    """
+    a = a_ref[:]
+    b = b_ref[:]
+    acc = jnp.zeros_like(a)
+    for k in range(h):
+        ak = a[:, k, :]                                     # [h, NL]
+        bk = b[:, k, :] if trans_b else b[k, :, :]          # [h, NL]
+        acc = acc + ak[:, None, :] * bk[None, :, :]
+    o_ref[:] = acc
+
+
+def _lane_matmul(a: jax.Array, b: jax.Array, *,
+                 trans_b: bool = False) -> jax.Array:
+    """Lane-major batched matmul: a, b [h, h, N] -> a @ b(^T) [h, h, N]."""
+    h, _, n = a.shape
+    nl = max(_LEAF_LANES // (h // 32) ** 2, 128)
+    n_pad = ((n + nl - 1) // nl) * nl
+    if n_pad != n:
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, n_pad - n)))
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, n_pad - n)))
+    out = pl.pallas_call(
+        functools.partial(_lane_matmul_kernel, h=h, trans_b=trans_b),
+        grid=(n_pad // nl,),
+        in_specs=[pl.BlockSpec((h, h, nl), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((h, h, nl), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, h, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * n_pad * h ** 3),
+            bytes_accessed=int(3 * n_pad * h * h * 4),
+            transcendentals=0,
+        ),
+    )(a, b)
+    return out[:, :, :n]
+
+
+# Below this block size the whole recursion runs in lane-major layout
+# (one transpose in/out total; leaf + matmuls all lane-resident).
+_LANE_MAX = 64
+
+
+def _rec_lane(at: jax.Array) -> jax.Array:
+    """Lane-major recursion: at [r, r, N] -> inv(chol(at)) [r, r, N]."""
+    r = at.shape[0]
+    if r <= _LEAF:
+        return _leaf_lane(at)
+    h = r // 2
+    inv11 = _rec_lane(at[:h, :h, :])
+    # L21 = A21 @ inv(L11)^T ; S22 = A22 - L21 @ L21^T
+    l21 = _lane_matmul(at[h:, :h, :], inv11, trans_b=True)
+    s22 = at[h:, h:, :] - _lane_matmul(l21, l21, trans_b=True)
+    inv22 = _rec_lane(s22)
+    # inv21 = -inv(L22) @ (L21 @ inv(L11))
+    inv21 = -_lane_matmul(inv22, _lane_matmul(l21, inv11))
+    zero = jnp.zeros_like(l21)
+    return jnp.concatenate([
+        jnp.concatenate([inv11, zero], axis=1),
+        jnp.concatenate([inv21, inv22], axis=1),
+    ], axis=0)
+
+
 def _chol_inverse_leaf(a: jax.Array) -> jax.Array:
-    """Leaf via the lane-major Pallas kernel: a [N, r, r] -> inv(chol(a))."""
+    """Lane-major subtree: a [N, r, r] -> inv(chol(a)), r <= _LANE_MAX."""
     n, r, _ = a.shape
     nl = _LEAF_LANES
     n_pad = ((n + nl - 1) // nl) * nl
@@ -109,22 +199,7 @@ def _chol_inverse_leaf(a: jax.Array) -> jax.Array:
         pad = jnp.broadcast_to(jnp.eye(r, dtype=a.dtype), (n_pad - n, r, r))
         a = jnp.concatenate([a, pad], axis=0)
     at = jnp.transpose(a, (1, 2, 0))                            # [r, r, N]
-    inv_t = pl.pallas_call(
-        functools.partial(_leaf_kernel, r=r),
-        grid=(n_pad // nl,),
-        in_specs=[pl.BlockSpec((r, r, nl), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((r, r, nl), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r, r, n_pad), jnp.float32),
-        input_output_aliases={0: 0},
-        cost_estimate=pl.CostEstimate(
-            flops=int(2 * n_pad * r ** 3 / 3),
-            bytes_accessed=int(2 * n_pad * r * r * 4),
-            transcendentals=int(n_pad * r),
-        ),
-    )(at)
-    return jnp.transpose(inv_t, (2, 0, 1))[:n]
+    return jnp.transpose(_rec_lane(at), (2, 0, 1))[:n]
 
 
 def _use_leaf_kernel() -> bool:
@@ -137,7 +212,7 @@ def _use_leaf_kernel() -> bool:
 def _chol_inverse_rec(a: jax.Array) -> jax.Array:
     """inv(chol(a)) (lower-triangular) for SPD a [N, R, R], R a power of 2."""
     n, r, _ = a.shape
-    if r <= _LEAF and r >= 8 and _use_leaf_kernel():
+    if r <= _LANE_MAX and r >= 8 and _use_leaf_kernel():
         return _chol_inverse_leaf(a)
     if r == 1:
         return jax.lax.rsqrt(jnp.maximum(a, 1e-30))
