@@ -44,6 +44,9 @@ class MFState:
     xi: jax.Array            # scalar smoothed-quantile estimate
     key: jax.Array           # PRNG key (explicit; improves on the
                              # reference's std::random_device seeding)
+    steps: jax.Array         # epochs trained (selects the reference's
+                             # Initialize-time xi warm start on epoch 0;
+                             # see SAFER2._epoch)
 
     def replace(self, **kw) -> "MFState":
         return dataclasses.replace(self, **kw)
@@ -83,6 +86,7 @@ class Recommender:
             dual_weight=jnp.full((num_users,), cfg.alpha, jnp.float32),
             xi=jnp.float32(0.0),
             key=kr,
+            steps=jnp.int32(0),
         )
         self._epoch_jit = jax.jit(self._epoch)
         self._fold_in_jit = jax.jit(self._fold_in)

@@ -79,41 +79,57 @@ def grad_from_params(p: SolveParams, gram: jax.Array,
 
 def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
                 eig=None, use_cg: bool = False, cg_tol: float = 1e-10,
-                cg_iters: int = 100) -> jax.Array:
+                cg_iters: int = 100, pre_list=None) -> jax.Array:
     """One full ALS sweep over all buckets; scatter the rows back.
 
-    ``params_fn(bucket) -> SolveParams``. Buckets whose history width is
-    at most dim/2 take the Woodbury path when ``eig`` (the shared
-    Gramian's eigendecomposition) is provided — an L x L solve instead of
-    d x d (ops/woodbury.py). The rest assemble the d x d normal equations
-    and use the direct batched block-Cholesky, concatenated in as few
-    budget-capped groups as possible: the solver's op graph appears once
-    per group (the per-bucket form replicated the ~200-op recursion 9x
-    and host dispatch of it dominated small-dim epochs), and each group's
-    gather is data-dependent on the previous group's solution so XLA
-    cannot schedule every [rows, L, d] slab live at once (HBM OOM at
-    dim 512 otherwise).
+    ``params_fn(bucket, pre=None) -> SolveParams`` (``pre`` is an
+    optional pre-gathered ``(emb, mask)`` from ``gather_and_losses`` —
+    the loss pass and the solve sweep then share ONE gather of the
+    frozen table). Buckets whose history width is at most dim/2 take the
+    Woodbury path when ``eig`` (the shared Gramian's eigendecomposition)
+    is provided — an L x L solve instead of d x d (ops/woodbury.py). The
+    rest assemble the d x d normal equations and use the direct batched
+    block-Cholesky, concatenated in as few budget-capped groups as
+    possible: the solver's op graph appears once per group (the
+    per-bucket form replicated the ~200-op recursion 9x and host
+    dispatch of it dominated small-dim epochs), and each group's work is
+    data-dependent on the previous group's solution so XLA cannot
+    schedule every [rows, L, d] gather / [rows, d, d] system slab live
+    at once (HBM OOM at dim 512 otherwise): without ``pre`` the token
+    ties the gather indices; with ``pre`` (slabs already live, gated by
+    ``FUSE_BUDGET_BYTES``) it ties the ridge term instead.
     """
     if not buckets:
         return table
     dim = table.shape[1]
     token = jnp.int32(0)
+    ftoken = jnp.float32(0.0)
 
-    def tie(b):
-        return dataclasses.replace(b, col_ids=b.col_ids + token)
+    if pre_list is None:
+        pre_list = [None] * len(buckets)
+    pairs = list(zip(buckets, pre_list))
 
-    direct = [b for b in buckets
+    def make(b, pre):
+        if pre is None:
+            b = dataclasses.replace(b, col_ids=b.col_ids + token)
+            return params_fn(b)
+        p = params_fn(b, pre)
+        return p._replace(c0=p.c0 + ftoken)
+
+    direct = [(b, p) for b, p in pairs
               if eig is None or not woodbury.applicable(b.width, dim)]
-    wood = [b for b in buckets
+    wood = [(b, p) for b, p in pairs
             if eig is not None and woodbury.applicable(b.width, dim)]
 
-    for b in wood:
-        x = woodbury.solve(params_fn(tie(b)), *eig)
+    for b, pre in wood:
+        x = woodbury.solve(make(b, pre), *eig)
         token = (x[0, 0] == jnp.inf).astype(jnp.int32)   # always 0
+        ftoken = token.astype(jnp.float32)
         table = assemble.scatter_rows(table, b.row_ids, x)
 
-    for group in _solve_groups(direct, dim):
-        systems = [assemble_from_params(params_fn(tie(b)), gram)
+    for group in _solve_groups([b for b, _ in direct], dim):
+        pres = dict((id(b), p) for b, p in direct)
+        systems = [assemble_from_params(make(b, pres[id(b)]), gram)
                    for b in group]
         if len(group) == 1:
             a, rhs = systems[0]
@@ -123,6 +139,7 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
         x = solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
                         max_iters=cg_iters)
         token = (x[0, 0] == jnp.inf).astype(jnp.int32)   # always 0
+        ftoken = token.astype(jnp.float32)
         ofs = 0
         for b in group:
             table = assemble.scatter_rows(table, b.row_ids,
@@ -133,12 +150,12 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
 
 def params_ials(table_other: jax.Array, bucket: Bucket,
                 reg_rows: jax.Array, uobs: float,
-                dtype=None) -> SolveParams:
+                dtype=None, pre=None) -> SolveParams:
     """iALS normal equations (reference ials.h:88-144):
 
     A = uobs * G + reg * I + sum_h v v^T ;  rhs = sum_h v.
     """
-    emb, mask = assemble.gather_history(table_other, bucket, dtype)
+    emb, mask = pre or assemble.gather_history(table_other, bucket, dtype)
     c1 = jnp.full((bucket.n_rows,), uobs, jnp.float32)
     return SolveParams(emb=emb, wt=mask, r=mask, c0=reg_rows, c1=c1)
 
@@ -146,14 +163,14 @@ def params_ials(table_other: jax.Array, bucket: Bucket,
 def params_weighted_mean(table_other: jax.Array, bucket: Bucket,
                          reg_rows: jax.Array, uobs: float,
                          row_weight: jax.Array,
-                         dtype=None) -> SolveParams:
+                         dtype=None, pre=None) -> SolveParams:
     """SAFER-family user-side system (reference safer2.h:104-163,
     erm_mf.h:91-151):
 
     A = w * (sum_h v v^T / |H| + uobs * G) + reg * I
     rhs = (w / |H|) * sum_h v
     """
-    emb, mask = assemble.gather_history(table_other, bucket, dtype)
+    emb, mask = pre or assemble.gather_history(table_other, bucket, dtype)
     coef = row_weight / safe_len(bucket)          # w / |H|
     wt = coef[:, None] * mask
     return SolveParams(emb=emb, wt=wt, r=wt, c0=reg_rows,
@@ -173,8 +190,8 @@ def params_weighted_item(table_other: jax.Array, bucket: Bucket,
     The reference's tail rankUpdate bug (safer2.h:203) is intentionally
     not reproduced (correct masked einsum instead).
     """
-    emb, mask = assemble.gather_history(table_other, bucket, dtype)
-    wt = norm_dual[bucket.col_ids] * mask                     # [N, L]
+    emb, mask, wt = assemble.gather_history_extra(table_other, norm_dual,
+                                                  bucket, dtype)
     c1 = jnp.full((bucket.n_rows,), uobs, jnp.float32)
     return SolveParams(emb=emb, wt=wt, r=wt, c0=reg_rows, c1=c1)
 
@@ -279,8 +296,8 @@ def block_assemble_item_safer(
     """
     x_full = table_self[bucket.row_ids]
     x_loc = x_full[:, s:e]
-    emb, mask = assemble.gather_history(other_loc, bucket, dtype)
-    wt = norm_dual[bucket.col_ids] * mask
+    emb, mask, wt = assemble.gather_history_extra(other_loc, norm_dual,
+                                                  bucket, dtype)
     resid = assemble.gather_pred(pred, bucket, mask) - mask
     a = assemble.row_gramians(emb, col_weight=wt)
     a = a + uobs * g_loc_w[None].astype(a.dtype)
@@ -342,6 +359,51 @@ def user_losses(user_emb: jax.Array, item_emb: jax.Array,
             loss = loss * 0.5
         out = assemble.scatter_vector(out, b.row_ids, loss)
     return out
+
+
+# Keep the loss pass's gathered [N, L, d] slabs alive for reuse by the
+# following U-sweep only when they all fit comfortably in HBM (they must
+# stay live across the global xi/z barrier). Above this, fall back to
+# re-gathering inside the (serialized, budget-capped) solve groups.
+FUSE_BUDGET_BYTES = 4 << 30
+
+
+def gather_and_losses(table_other: jax.Array, buckets, probe_table,
+                      gramian: jax.Array, num_rows: int, uobs: float, *,
+                      halve: bool, dtype=None,
+                      budget_bytes: int = FUSE_BUDGET_BYTES):
+    """Per-row losses of the *carried* model, fused with the U-sweep.
+
+    Computes the same per-user losses as ``user_losses`` (reference
+    ials.h:70-86 / safer2.h:85-101) but returns the gathered history
+    slabs for ``solve_sweep(pre_list=...)`` so the following U-sweep
+    reuses them — the loss pass's table gather was one third of the
+    epoch's gather traffic (the models shift the reference's
+    end-of-epoch ComputeUserLoss to the top of the next pd iteration,
+    where it reads the same frozen tables the U-step does; the update
+    sequence is unchanged — see SAFER2._epoch).
+
+    Returns ``(loss [num_rows], pre_list or None)``.
+    """
+    bytes_per = 2 if dtype is not None else 4
+    total = sum(b.n_rows * b.width
+                for b in buckets) * table_other.shape[1] * bytes_per
+    keep = total <= budget_bytes
+    out = jnp.zeros((num_rows,), jnp.float32)
+    pre = [] if keep else None
+    for b in buckets:
+        emb, mask = assemble.gather_history(table_other, b, dtype)
+        x = probe_table[b.row_ids]
+        p = assemble.rowwise_dot(emb, x)
+        obs = jnp.sum(jnp.square(p - 1.0) * mask, axis=1) / safe_len(b)
+        quad = uobs * jnp.einsum("nd,de,ne->n", x, gramian, x)
+        loss = obs + quad
+        if halve:
+            loss = loss * 0.5
+        out = assemble.scatter_vector(out, b.row_ids, loss)
+        if keep:
+            pre.append((emb, mask))
+    return out, pre
 
 
 def ials_reg(length: jax.Array, num_choices: int, reg: float,

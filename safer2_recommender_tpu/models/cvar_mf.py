@@ -43,14 +43,16 @@ class CVaRMF(SaferFamilyMixin, Recommender):
         return self.cfg.l2_reg * (
             stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
 
-    def _grad_step_u(self, ue, item_emb, gramian, buckets, dual):
+    def _grad_step_u(self, ue, item_emb, gramian, buckets, dual,
+                     pre_list=None):
         cfg = self.cfg
         reg = self._user_reg()
-        for b in buckets:
+        pre_list = pre_list or [None] * len(buckets)
+        for b, pre in zip(buckets, pre_list):
             w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
             p = common.params_weighted_mean(
                 item_emb, b, jnp.full((b.n_rows,), reg, jnp.float32),
-                cfg.uobs_weight, w, dtype=self.asm_dtype)
+                cfg.uobs_weight, w, dtype=self.asm_dtype, pre=pre)
             u_rows = ue[b.row_ids]
             grad = common.grad_from_params(p, gramian, u_rows)
             ue = assemble.scatter_rows(ue, b.row_ids,
@@ -75,23 +77,32 @@ class CVaRMF(SaferFamilyMixin, Recommender):
         return v
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
+        """Phase-shifted like SAFER2._epoch: the reference's trailing
+        {loss, xi = exact quantile} (cvar_mf.h:300-306) runs at the top
+        of the next epoch, where the loss pass shares the U-step's
+        gather. Epoch 0 keeps the carried xi (the reference's prev_xi_
+        is 0-initialized and Initialize computes only the loss,
+        cvar_mf.h:710-726), so the update sequence is identical."""
         cfg = self.cfg
         present = dd.user_hist_size > 0
-        dual = jnp.where(present,
-                         (state.user_loss - state.xi >= 0.0).astype(
-                             jnp.float32),
+        loss, pre = common.gather_and_losses(
+            state.item_emb, dd.by_user, state.user_emb,
+            state.item_gramian, dd.num_users, cfg.uobs_weight,
+            halve=True, dtype=self.asm_dtype)
+        xi = jnp.where(state.steps == 0, state.xi,
+                       quantile.exact_quantile(loss, cfg.alpha))
+        dual = jnp.where(present, (loss - xi >= 0.0).astype(jnp.float32),
                          state.dual_weight)
         u_prev = state.user_emb
         u = self._grad_step_u(state.user_emb, state.item_emb,
-                              state.item_gramian, dd.by_user, dual)
+                              state.item_gramian, dd.by_user, dual,
+                              pre_list=pre)
         # StepV uses the pre-update user embeddings (cvar_mf.h:282-295).
         v = self._grad_step_v(state.item_emb, u_prev, dd, dual)
         gram = v.T @ v
-        loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
-                                  cfg.uobs_weight, halve=True, dtype=self.asm_dtype)
-        xi = quantile.exact_quantile(loss, cfg.alpha)
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
-                             user_loss=loss, dual_weight=dual, xi=xi)
+                             user_loss=loss, dual_weight=dual, xi=xi,
+                             steps=state.steps + 1)
 
     def initialize(self, dd: DeviceData) -> None:
         """Pre-compute losses (reference cvar_mf.h:710-726)."""

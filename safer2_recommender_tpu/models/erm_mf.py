@@ -41,21 +41,22 @@ class ERMMF(SaferFamilyMixin, Recommender):
         return self.cfg.l2_reg * (
             stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
 
-    def _step_u(self, ue, item_emb, gramian, buckets, dual):
+    def _step_u(self, ue, item_emb, gramian, buckets, dual, pre_list=None):
         cfg = self.cfg
         reg = self._user_reg()
         eig = woodbury.maybe_eigh(gramian, cfg.dim, use_cg=cfg.use_cg)
 
-        def params_fn(b):
+        def params_fn(b, pre=None):
             w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
             return common.params_weighted_mean(
                 item_emb, b, jnp.full((b.n_rows,), reg, jnp.float32),
-                cfg.uobs_weight, w, dtype=self.asm_dtype)
+                cfg.uobs_weight, w, dtype=self.asm_dtype, pre=pre)
 
         return common.solve_sweep(ue, buckets, params_fn, gramian,
                                   eig=eig, use_cg=cfg.use_cg,
                                   cg_tol=cfg.cg_error_tolerance,
-                                  cg_iters=cfg.cg_max_iterations)
+                                  cg_iters=cfg.cg_max_iterations,
+                                  pre_list=pre_list)
 
     def _step_v(self, v, user_emb, dd: DeviceData, dual):
         cfg = self.cfg
@@ -80,15 +81,21 @@ class ERMMF(SaferFamilyMixin, Recommender):
                                   cg_iters=cfg.cg_max_iterations)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
+        # The end-of-epoch ComputeUserLoss (erm_mf.h:275-276; stats-only —
+        # ERM's dual weight is the constant alpha) is shifted to the top
+        # of the next epoch so it shares the U-sweep's gather; the stored
+        # user_loss therefore describes the carried (pre-epoch) model.
+        loss, pre = common.gather_and_losses(
+            state.item_emb, dd.by_user, state.user_emb,
+            state.item_gramian, dd.num_users, self.cfg.uobs_weight,
+            halve=True, dtype=self.asm_dtype)
         u = self._step_u(state.user_emb, state.item_emb,
                          state.item_gramian, dd.by_user,
-                         state.dual_weight)
+                         state.dual_weight, pre_list=pre)
         v = self._step_v(state.item_emb, u, dd, state.dual_weight)
         gram = v.T @ v
-        loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
-                                  self.cfg.uobs_weight, halve=True, dtype=self.asm_dtype)
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
-                             user_loss=loss)
+                             user_loss=loss, steps=state.steps + 1)
 
     def initialize(self, dd: DeviceData) -> None:
         """Pre-compute losses (reference erm_mf.h:573-587; history sizes

@@ -34,32 +34,43 @@ class IALS(Recommender):
                              cfg.l2_reg_exp, cfg.uobs_weight)
         return ur, ir
 
-    def _sweep(self, table_self, table_other, buckets, num_choices):
+    def _sweep(self, table_self, table_other, buckets, num_choices,
+               gram=None, pre_list=None):
         cfg = self.cfg
-        gram = (table_other.T @ table_other).astype(jnp.float32)
+        if gram is None:
+            gram = (table_other.T @ table_other).astype(jnp.float32)
         eig = woodbury.maybe_eigh(gram, cfg.dim, use_cg=cfg.use_cg)
 
-        def params_fn(b):
+        def params_fn(b, pre=None):
             reg = common.ials_reg(b.length, num_choices, cfg.l2_reg,
                                   cfg.l2_reg_exp, cfg.uobs_weight)
             return common.params_ials(table_other, b, reg,
                                       cfg.uobs_weight,
-                                      dtype=self.asm_dtype)
+                                      dtype=self.asm_dtype, pre=pre)
 
         return common.solve_sweep(table_self, buckets, params_fn, gram,
                                   eig=eig, use_cg=cfg.use_cg,
                                   cg_tol=cfg.cg_error_tolerance,
-                                  cg_iters=cfg.cg_max_iterations)
+                                  cg_iters=cfg.cg_max_iterations,
+                                  pre_list=pre_list)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
+        # The reference's end-of-epoch ComputeUserLoss (ials.h:205-206;
+        # stats-only) is shifted to the top of the next epoch so it
+        # shares the user sweep's gather; state.item_gramian carries
+        # V^T V across the boundary. The stored user_loss therefore
+        # describes the carried (pre-epoch) model.
+        loss, pre = common.gather_and_losses(
+            state.item_emb, dd.by_user, state.user_emb,
+            state.item_gramian, dd.num_users, self.cfg.uobs_weight,
+            halve=False, dtype=self.asm_dtype)
         u = self._sweep(state.user_emb, state.item_emb, dd.by_user,
-                        dd.num_items)
+                        dd.num_items, gram=state.item_gramian,
+                        pre_list=pre)
         v = self._sweep(state.item_emb, u, dd.by_item, dd.num_users)
         gram = v.T @ v
-        loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
-                                  self.cfg.uobs_weight, halve=False, dtype=self.asm_dtype)
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
-                             user_loss=loss)
+                             user_loss=loss, steps=state.steps + 1)
 
     def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
         """One exact re-projection of the held-out users

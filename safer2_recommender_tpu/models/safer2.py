@@ -51,21 +51,22 @@ class SAFER2(SaferFamilyMixin, Recommender):
         return self.cfg.l2_reg * (
             stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
 
-    def _step_u(self, ue, item_emb, gramian, buckets, dual):
+    def _step_u(self, ue, item_emb, gramian, buckets, dual, pre_list=None):
         cfg = self.cfg
         reg = self._user_reg()
         eig = woodbury.maybe_eigh(gramian, cfg.dim, use_cg=cfg.use_cg)
 
-        def params_fn(b):
+        def params_fn(b, pre=None):
             w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
             return common.params_weighted_mean(
                 item_emb, b, jnp.full((b.n_rows,), reg, jnp.float32),
-                cfg.uobs_weight, w, dtype=self.asm_dtype)
+                cfg.uobs_weight, w, dtype=self.asm_dtype, pre=pre)
 
         return common.solve_sweep(ue, buckets, params_fn, gramian,
                                   eig=eig, use_cg=cfg.use_cg,
                                   cg_tol=cfg.cg_error_tolerance,
-                                  cg_iters=cfg.cg_max_iterations)
+                                  cg_iters=cfg.cg_max_iterations,
+                                  pre_list=pre_list)
 
     def _step_v(self, v, user_emb, dd: DeviceData, dual):
         cfg = self.cfg
@@ -99,50 +100,65 @@ class SAFER2(SaferFamilyMixin, Recommender):
         return jnp.where(present, z_new, state.dual_weight)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
+        """One Train call, phase-shifted so the loss pass shares the
+        U-sweep's gather.
+
+        The reference epoch is ``pd x {z, U, V, gram, loss} ; xi``
+        (safer2.h:266-334) with Initialize pre-computing loss and
+        ``xi = NR(loss, warm=mean(loss))`` (safer2.h:819-824). Because
+        nothing mutates (u, v) between one epoch's trailing
+        {loss, xi} and the next epoch's leading z, the identical update
+        sequence can be produced as ``pd x {loss, [xi at t=0], z, U, V,
+        gram}`` with the NR warm start selected by ``state.steps``:
+        epoch 0's leading {loss, xi(warm=mean)} IS the reference's
+        Initialize, and epoch k's leading {loss, xi(warm=prev)} IS the
+        reference's trailing pair of epoch k-1 (u, v unchanged in
+        between, so the recomputed loss is value-identical). The payoff:
+        the loss pass reads the same frozen item table as the U-step,
+        so one gather (the dominant TPU epoch cost) serves both.
+        """
         cfg = self.cfg
         present = dd.user_hist_size > 0
         u, v = state.user_emb, state.item_emb
         gram = state.item_gramian
-        loss, dual = state.user_loss, state.dual_weight
-        for _ in range(cfg.pd_iterations):
+        dual, xi, key = state.dual_weight, state.xi, state.key
+        for t in range(cfg.pd_iterations):
+            loss, pre = common.gather_and_losses(
+                v, dd.by_user, u, gram, dd.num_users, cfg.uobs_weight,
+                halve=True, dtype=self.asm_dtype)
+            if t == 0:
+                warm = jnp.where(state.steps == 0, jnp.mean(loss), xi)
+                key, sub = jax.random.split(key)
+                xi = quantile.compute_xi(
+                    loss, warm, sub, nr_iterations=cfg.xi_iterations,
+                    bandwidth=cfg.bandwidth, alpha=cfg.alpha,
+                    use_epanechnikov=cfg.use_epanechnikov,
+                    use_snr=cfg.use_snr,
+                    sampling_ratio=cfg.sampling_ratio)
             dual = jnp.where(
                 present,
-                smoothing.dual_weight(loss, state.xi, cfg.bandwidth,
+                smoothing.dual_weight(loss, xi, cfg.bandwidth,
                                       cfg.use_epanechnikov),
                 dual)
-            u = self._step_u(u, v, gram, dd.by_user, dual)
+            u = self._step_u(u, v, gram, dd.by_user, dual, pre_list=pre)
             v = self._step_v(v, u, dd, dual)
             gram = v.T @ v
-            loss = common.user_losses(u, v, gram, dd.by_user,
-                                      dd.num_users, cfg.uobs_weight,
-                                      halve=True, dtype=self.asm_dtype)
-        key, sub = jax.random.split(state.key)
-        xi = quantile.compute_xi(
-            loss, state.xi, sub, nr_iterations=cfg.xi_iterations,
-            bandwidth=cfg.bandwidth, alpha=cfg.alpha,
-            use_epanechnikov=cfg.use_epanechnikov, use_snr=cfg.use_snr,
-            sampling_ratio=cfg.sampling_ratio)
+            loss_out = loss
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
-                             user_loss=loss, dual_weight=dual, xi=xi,
-                             key=key)
+                             user_loss=loss_out, dual_weight=dual, xi=xi,
+                             key=key, steps=state.steps + 1)
 
     def initialize(self, dd: DeviceData) -> None:
-        """Loss -> mean-loss warm start -> xi via NR
-        (reference safer2.h:819-838)."""
+        """Reference safer2.h:819-838. The loss/xi warm start now runs at
+        the top of the first epoch (see ``_epoch``); here we only compute
+        the loss so the pre-training state is inspectable."""
         @jax.jit
         def _init(state: MFState):
             loss = common.user_losses(
                 state.user_emb, state.item_emb, state.item_gramian,
-                dd.by_user, dd.num_users, self.cfg.uobs_weight, halve=True, dtype=self.asm_dtype)
-            key, sub = jax.random.split(state.key)
-            xi = quantile.compute_xi(
-                loss, jnp.mean(loss), sub,
-                nr_iterations=self.cfg.xi_iterations,
-                bandwidth=self.cfg.bandwidth, alpha=self.cfg.alpha,
-                use_epanechnikov=self.cfg.use_epanechnikov,
-                use_snr=self.cfg.use_snr,
-                sampling_ratio=self.cfg.sampling_ratio)
-            return state.replace(user_loss=loss, xi=xi, key=key)
+                dd.by_user, dd.num_users, self.cfg.uobs_weight,
+                halve=True, dtype=self.asm_dtype)
+            return state.replace(user_loss=loss, steps=jnp.int32(0))
 
         self.state = _init(self.state)
 

@@ -48,6 +48,27 @@ def gather_history(table: jax.Array, bucket: Bucket,
     return emb, mask
 
 
+def gather_history_extra(table: jax.Array, vec: jax.Array, bucket: Bucket,
+                         dtype=None
+                         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused row gather of the embedding rows AND a per-row scalar.
+
+    Returns (emb [N, L, d] masked, mask [N, L], extra [N, L] f32 masked)
+    where ``extra[n, l] = vec[col_ids[n, l]]``. A separate element gather
+    ``vec[bucket.col_ids]`` is slower than the whole [N, L, d] row gather
+    on TPU (measured 1.2 ms vs 0.27 ms at [296, 512] x dim 32 on v5e:
+    element gathers can't use full tiles), so the scalar rides as an
+    extra column of the gathered table instead. The concatenated table is
+    identical across a sweep's buckets and CSE'd by XLA.
+    """
+    if dtype is not None:
+        table = table.astype(dtype)
+    aug = jnp.concatenate([table, vec[:, None].astype(table.dtype)], axis=1)
+    mask = history_mask(bucket)
+    g = aug[bucket.col_ids] * mask[..., None].astype(aug.dtype)
+    return g[..., :-1], mask, g[..., -1].astype(jnp.float32)
+
+
 def row_gramians(emb: jax.Array, col_weight: Optional[jax.Array] = None,
                  out_dtype=jnp.float32) -> jax.Array:
     """Batched sum of outer products: [N, L, d] -> [N, d, d].
