@@ -39,19 +39,84 @@ def safe_len(bucket: Bucket) -> jax.Array:
 
 
 def _solve_groups(buckets, dim: int, budget_bytes: int = 2 << 30):
-    """Greedily group buckets so one solve batch's [rows, d, d] systems
-    (plus ~2 live solver copies) stay under the memory budget."""
-    cap = max(budget_bytes // (dim * dim * 4), 64)
-    groups, cur, rows = [], [], 0
+    """Greedily group buckets so one solve batch's live slabs — the
+    [rows, d, d] systems (~2 solver copies) AND the gathered
+    [rows, L, d] history slabs — stay under the memory budget. The
+    gather term matters for zipf-head widths: several [200, 2048, d]
+    slabs fit the d x d budget but their gathers alone exceeded HBM at
+    MSD scale before it was accounted."""
+    def cost(b):
+        w_eff = min(b.width, assemble.WIDE_CHUNK) if (
+            assemble.is_wide(b, dim)) else b.width
+        return b.n_rows * (dim * dim * 4 + w_eff * (dim + 1) * 4)
+
+    floor = 64 * dim * dim * 4
+    cap = max(budget_bytes, floor)
+    groups, cur, used = [], [], 0
     for b in buckets:
-        if cur and rows + b.n_rows > cap:
+        c = cost(b)
+        if cur and used + c > cap:
             groups.append(cur)
-            cur, rows = [], 0
+            cur, used = [], 0
         cur.append(b)
-        rows += b.n_rows
+        used += c
     if cur:
         groups.append(cur)
     return groups
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketStack:
+    """K same-shape buckets stacked for a ``lax.scan`` sweep.
+
+    At MSD scale the memory budget splits each width bucket into O(100)
+    identical-shape row chunks (data/dataset.py::_bucket_budgets); an
+    unrolled per-chunk op chain makes dim-512 epochs take minutes to
+    compile. Same-shape chunks instead run as ONE scan whose body holds
+    the gather/assemble/solve graph once; the scan's carried table also
+    serializes the chunks, bounding live [rows, L, d] slabs exactly like
+    the token chain does for the unrolled path.
+    """
+
+    stack: Bucket   # every field with a leading [K] axis
+    k: int
+    n_rows: int
+    width: int
+
+
+def tie_bucket(b: Bucket, carry) -> Bucket:
+    """Make a bucket's gather indices data-dependent on the sweep carry.
+
+    Scan bodies read only the frozen table, so if XLA unrolls a short
+    scan (it does for small trip counts on TPU), nothing orders one
+    chunk's [N, L, d] gather after the previous chunk's solve and every
+    slab goes live at once (measured 26G on a 16G chip at MSD scale).
+    Adding an always-zero token derived from the carry restores the
+    chain; inside a rolled loop it is free.
+    """
+    leaf = jax.tree_util.tree_leaves(carry)[0]
+    tok = (leaf.ravel()[0].astype(jnp.float32) == jnp.inf).astype(jnp.int32)
+    return dataclasses.replace(b, col_ids=b.col_ids + tok)
+
+
+def group_same_shape(buckets):
+    """Group buckets by (n_rows, width): singles stay ``Bucket``, repeats
+    become ``BucketStack``. Order across groups is insertion order of
+    first occurrence; per-sweep row sets are disjoint so reordering
+    buckets never changes the result."""
+    by_shape = {}
+    for b in buckets:
+        by_shape.setdefault((b.n_rows, b.width), []).append(b)
+    out = []
+    for (n, w), bs in by_shape.items():
+        if len(bs) == 1:
+            out.append(bs[0])
+        else:
+            stack = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *bs)
+            out.append(BucketStack(stack=stack, k=len(bs), n_rows=n,
+                                   width=w))
+    return out
 
 
 def assemble_from_params(p: SolveParams, gram: jax.Array
@@ -60,10 +125,18 @@ def assemble_from_params(p: SolveParams, gram: jax.Array
 
     A = c0*I + c1*G + emb^T diag(wt) emb ;  rhs = emb^T r.
     """
-    a = assemble.row_gramians(p.emb, col_weight=p.wt)
+    if p.wide is not None:
+        wh = p.wide
+        a, rhs = assemble.wide_assemble(wh.table, wh.bucket,
+                                        extra_vec=wh.extra_vec)
+        if wh.row_coef is not None:
+            a = a * wh.row_coef[:, None, None]
+            rhs = rhs * wh.row_coef[:, None]
+    else:
+        a = assemble.row_gramians(p.emb, col_weight=p.wt)
+        rhs = assemble.row_sums(p.emb, col_weight=p.r)
     a = a + p.c1[:, None, None] * gram[None].astype(a.dtype)
     a = assemble.add_ridge(a, p.c0)
-    rhs = assemble.row_sums(p.emb, col_weight=p.r)
     return a, rhs
 
 
@@ -71,9 +144,17 @@ def grad_from_params(p: SolveParams, gram: jax.Array,
                      x: jax.Array) -> jax.Array:
     """A @ x - rhs via matvecs (no [N, d, d] materialization) — the
     CVaR-MF subgradient (reference cvar_mf.h:133, :179)."""
+    ax0 = p.c0[:, None] * x + p.c1[:, None] * (x @ gram)
+    if p.wide is not None:
+        wh = p.wide
+        ax_h, rhs = assemble.wide_matvec(wh.table, wh.bucket, x,
+                                         extra_vec=wh.extra_vec)
+        if wh.row_coef is not None:
+            ax_h = ax_h * wh.row_coef[:, None]
+            rhs = rhs * wh.row_coef[:, None]
+        return ax0 + ax_h - rhs
     vx = assemble.rowwise_dot(p.emb, x)
-    ax = p.c0[:, None] * x + p.c1[:, None] * (x @ gram)
-    ax = ax + assemble.row_sums(p.emb, col_weight=p.wt * vx)
+    ax = ax0 + assemble.row_sums(p.emb, col_weight=p.wt * vx)
     return ax - assemble.row_sums(p.emb, col_weight=p.r)
 
 
@@ -105,9 +186,10 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
     token = jnp.int32(0)
     ftoken = jnp.float32(0.0)
 
+    groups = group_same_shape(buckets)
     if pre_list is None:
-        pre_list = [None] * len(buckets)
-    pairs = list(zip(buckets, pre_list))
+        pre_list = [None] * len(groups)
+    assert len(pre_list) == len(groups)
 
     def make(b, pre):
         if pre is None:
@@ -116,19 +198,51 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
         p = params_fn(b, pre)
         return p._replace(c0=p.c0 + ftoken)
 
-    direct = [(b, p) for b, p in pairs
-              if eig is None or not woodbury.applicable(b.width, dim)]
-    wood = [(b, p) for b, p in pairs
-            if eig is not None and woodbury.applicable(b.width, dim)]
+    def is_wood(g) -> bool:
+        return eig is not None and woodbury.applicable(g.width, dim)
+
+    def solve_one(b, pre):
+        if is_wood(b):
+            return woodbury.solve(make(b, pre), *eig)
+        a, rhs = assemble_from_params(make(b, pre), gram)
+        return solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
+                           max_iters=cg_iters)
+
+    # Same-shape stacks: one scan each (the scan carries the table, so
+    # chunks serialize and the body's op graph appears once).
+    singles = []
+    for g, pre in zip(groups, pre_list):
+        if isinstance(g, Bucket):
+            singles.append((g, pre))
+            continue
+
+        if pre is None:
+            def body(tbl, b):
+                x = solve_one(tie_bucket(b, tbl), None)
+                return assemble.scatter_rows(tbl, b.row_ids, x), None
+            table = jax.lax.scan(body, table, g.stack)[0]
+        else:
+            def body(tbl, xs):
+                b, p = xs
+                x = solve_one(b, p)
+                return assemble.scatter_rows(tbl, b.row_ids, x), None
+            table = jax.lax.scan(body, table, (g.stack, pre))[0]
+        token = (table[0, 0] == jnp.inf).astype(jnp.int32)   # always 0
+        ftoken = token.astype(jnp.float32)
+
+    # Remaining one-off buckets: Woodbury individually, direct solves
+    # concatenated into as few budget-capped batches as possible.
+    wood = [(b, p) for b, p in singles if is_wood(b)]
+    direct = [(b, p) for b, p in singles if not is_wood(b)]
 
     for b, pre in wood:
-        x = woodbury.solve(make(b, pre), *eig)
+        x = solve_one(b, pre)
         token = (x[0, 0] == jnp.inf).astype(jnp.int32)   # always 0
         ftoken = token.astype(jnp.float32)
         table = assemble.scatter_rows(table, b.row_ids, x)
 
+    pres = {id(b): p for b, p in direct}
     for group in _solve_groups([b for b, _ in direct], dim):
-        pres = dict((id(b), p) for b, p in direct)
         systems = [assemble_from_params(make(b, pres[id(b)]), gram)
                    for b in group]
         if len(group) == 1:
@@ -148,6 +262,33 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
     return table
 
 
+def _wide_hist(table_other, bucket, dtype, row_coef=None, extra_vec=None):
+    t = table_other if dtype is None else table_other.astype(dtype)
+    return woodbury.WideHist(table=t, bucket=bucket, row_coef=row_coef,
+                             extra_vec=extra_vec)
+
+
+def sweep_apply(buckets, pre_list, carry, body):
+    """``body(carry, bucket, pre) -> carry`` over grouped buckets; stacked
+    same-shape groups run as one ``lax.scan`` (see ``BucketStack``).
+    ``pre_list`` aligns with ``group_same_shape(buckets)`` or is None."""
+    groups = group_same_shape(buckets)
+    if pre_list is None:
+        pre_list = [None] * len(groups)
+    for g, pre in zip(groups, pre_list):
+        if isinstance(g, Bucket):
+            carry = body(carry, g, pre)
+        elif pre is None:
+            carry = jax.lax.scan(
+                lambda c, b: (body(c, tie_bucket(b, c), None), None),
+                carry, g.stack)[0]
+        else:
+            carry = jax.lax.scan(
+                lambda c, xs: (body(c, xs[0], xs[1]), None), carry,
+                (g.stack, pre))[0]
+    return carry
+
+
 def params_ials(table_other: jax.Array, bucket: Bucket,
                 reg_rows: jax.Array, uobs: float,
                 dtype=None, pre=None) -> SolveParams:
@@ -155,8 +296,11 @@ def params_ials(table_other: jax.Array, bucket: Bucket,
 
     A = uobs * G + reg * I + sum_h v v^T ;  rhs = sum_h v.
     """
-    emb, mask = pre or assemble.gather_history(table_other, bucket, dtype)
     c1 = jnp.full((bucket.n_rows,), uobs, jnp.float32)
+    if pre is None and assemble.is_wide(bucket, table_other.shape[1]):
+        return SolveParams(emb=None, wt=None, r=None, c0=reg_rows, c1=c1,
+                           wide=_wide_hist(table_other, bucket, dtype))
+    emb, mask = pre or assemble.gather_history(table_other, bucket, dtype)
     return SolveParams(emb=emb, wt=mask, r=mask, c0=reg_rows, c1=c1)
 
 
@@ -170,8 +314,13 @@ def params_weighted_mean(table_other: jax.Array, bucket: Bucket,
     A = w * (sum_h v v^T / |H| + uobs * G) + reg * I
     rhs = (w / |H|) * sum_h v
     """
-    emb, mask = pre or assemble.gather_history(table_other, bucket, dtype)
     coef = row_weight / safe_len(bucket)          # w / |H|
+    if pre is None and assemble.is_wide(bucket, table_other.shape[1]):
+        return SolveParams(emb=None, wt=None, r=None, c0=reg_rows,
+                           c1=row_weight * uobs,
+                           wide=_wide_hist(table_other, bucket, dtype,
+                                           row_coef=coef))
+    emb, mask = pre or assemble.gather_history(table_other, bucket, dtype)
     wt = coef[:, None] * mask
     return SolveParams(emb=emb, wt=wt, r=wt, c0=reg_rows,
                        c1=row_weight * uobs)
@@ -190,9 +339,13 @@ def params_weighted_item(table_other: jax.Array, bucket: Bucket,
     The reference's tail rankUpdate bug (safer2.h:203) is intentionally
     not reproduced (correct masked einsum instead).
     """
+    c1 = jnp.full((bucket.n_rows,), uobs, jnp.float32)
+    if assemble.is_wide(bucket, table_other.shape[1]):
+        return SolveParams(emb=None, wt=None, r=None, c0=reg_rows, c1=c1,
+                           wide=_wide_hist(table_other, bucket, dtype,
+                                           extra_vec=norm_dual))
     emb, mask, wt = assemble.gather_history_extra(table_other, norm_dual,
                                                   bucket, dtype)
-    c1 = jnp.full((bucket.n_rows,), uobs, jnp.float32)
     return SolveParams(emb=emb, wt=wt, r=wt, c0=reg_rows, c1=c1)
 
 
@@ -216,7 +369,26 @@ def block_solve_sweep(table: jax.Array, pred: jax.Array, buckets,
     """
     if not buckets:
         return table, pred
-    for group in _solve_groups(buckets, e - s):
+    groups = group_same_shape(buckets)
+    singles = [g for g in groups if isinstance(g, Bucket)]
+
+    for g in groups:
+        if isinstance(g, Bucket):
+            continue
+
+        def body(carry, b):
+            tbl, prd = carry
+            a, rhs, x_loc, emb, mask = assemble_fn(tie_bucket(b, tbl))
+            d_b = -solve.cholesky_solve(a, rhs)
+            pred_delta = assemble.rowwise_dot(emb, d_b) * mask
+            prd = assemble.scatter_pred_update(prd, b, pred_delta,
+                                               add=True)
+            tbl = write_block(tbl, b, s, e, x_loc + d_b)
+            return (tbl, prd), None
+
+        (table, pred), _ = jax.lax.scan(body, (table, pred), g.stack)
+
+    for group in _solve_groups(singles, e - s):
         systems = [assemble_fn(b) for b in group]
         if len(group) == 1:
             a, rhs = systems[0][0], systems[0][1]
@@ -323,13 +495,14 @@ def write_block(table: jax.Array, bucket: Bucket, s: int, e: int,
 def predict_all(user_emb: jax.Array, item_emb: jax.Array, by_user,
                 nnz: int, dtype=None) -> jax.Array:
     """Flat prediction cache over all tuples (reference ialspp.h:469-517)."""
-    pred = jnp.zeros((nnz,), dtype=jnp.float32)
-    for b in by_user:
+    def body(pred, b, _):
         emb, mask = assemble.gather_history(item_emb, b, dtype)
         u = user_emb[b.row_ids]
         vals = assemble.rowwise_dot(emb, u) * mask
-        pred = assemble.scatter_pred_update(pred, b, vals, add=False)
-    return pred
+        return assemble.scatter_pred_update(pred, b, vals, add=False)
+
+    return sweep_apply(by_user, None, jnp.zeros((nnz,), jnp.float32),
+                       body)
 
 
 def user_losses(user_emb: jax.Array, item_emb: jax.Array,
@@ -343,9 +516,16 @@ def user_losses(user_emb: jax.Array, item_emb: jax.Array,
     ``pred`` uses the cached predictions for the observed part instead of
     re-scoring (reference safer2pp.h:80-95). Absent users keep loss 0.
     """
-    out = jnp.zeros((num_users,), dtype=jnp.float32)
-    for b in by_user:
+    def body(out, b, _):
         u = user_emb[b.row_ids]
+        if pred is None and assemble.is_wide(b, item_emb.shape[1]):
+            t = item_emb if dtype is None else item_emb.astype(dtype)
+            obs = assemble.wide_obs(t, b, u) / safe_len(b)
+            quad = uobs * jnp.einsum("nd,de,ne->n", u, gramian, u)
+            loss = obs + quad
+            if halve:
+                loss = loss * 0.5
+            return assemble.scatter_vector(out, b.row_ids, loss)
         mask = assemble.history_mask(b)
         if pred is None:
             emb, mask = assemble.gather_history(item_emb, b, dtype)
@@ -357,8 +537,10 @@ def user_losses(user_emb: jax.Array, item_emb: jax.Array,
         loss = obs + quad
         if halve:
             loss = loss * 0.5
-        out = assemble.scatter_vector(out, b.row_ids, loss)
-    return out
+        return assemble.scatter_vector(out, b.row_ids, loss)
+
+    return sweep_apply(by_user, None,
+                       jnp.zeros((num_users,), dtype=jnp.float32), body)
 
 
 # Keep the loss pass's gathered [N, L, d] slabs alive for reuse by the
@@ -383,26 +565,48 @@ def gather_and_losses(table_other: jax.Array, buckets, probe_table,
     where it reads the same frozen tables the U-step does; the update
     sequence is unchanged — see SAFER2._epoch).
 
-    Returns ``(loss [num_rows], pre_list or None)``.
+    Returns ``(loss [num_rows], pre_list or None)``; ``pre_list`` aligns
+    with ``group_same_shape(buckets)`` (stacked groups carry stacked
+    slabs), the layout ``solve_sweep(pre_list=...)`` consumes.
     """
+    dim = table_other.shape[1]
     bytes_per = 2 if dtype is not None else 4
-    total = sum(b.n_rows * b.width
-                for b in buckets) * table_other.shape[1] * bytes_per
-    keep = total <= budget_bytes
+    total = sum(b.n_rows * b.width for b in buckets) * dim * bytes_per
+    keep = total <= budget_bytes and not any(
+        assemble.is_wide(b, dim) for b in buckets)
     out = jnp.zeros((num_rows,), jnp.float32)
     pre = [] if keep else None
-    for b in buckets:
-        emb, mask = assemble.gather_history(table_other, b, dtype)
+
+    def piece(b):
         x = probe_table[b.row_ids]
-        p = assemble.rowwise_dot(emb, x)
-        obs = jnp.sum(jnp.square(p - 1.0) * mask, axis=1) / safe_len(b)
+        if assemble.is_wide(b, dim):
+            t = table_other if dtype is None else table_other.astype(dtype)
+            obs = assemble.wide_obs(t, b, x) / safe_len(b)
+            emb = mask = None
+        else:
+            emb, mask = assemble.gather_history(table_other, b, dtype)
+            p = assemble.rowwise_dot(emb, x)
+            obs = jnp.sum(jnp.square(p - 1.0) * mask, axis=1) / safe_len(b)
         quad = uobs * jnp.einsum("nd,de,ne->n", x, gramian, x)
         loss = obs + quad
         if halve:
             loss = loss * 0.5
-        out = assemble.scatter_vector(out, b.row_ids, loss)
-        if keep:
-            pre.append((emb, mask))
+        return loss, emb, mask
+
+    for g in group_same_shape(buckets):
+        if isinstance(g, BucketStack):
+            def body(o, b):
+                loss, emb, mask = piece(tie_bucket(b, o))
+                o = assemble.scatter_vector(o, b.row_ids, loss)
+                return o, ((emb, mask) if keep else 0)
+            out, ys = jax.lax.scan(body, out, g.stack)
+            if keep:
+                pre.append(ys)
+        else:
+            loss, emb, mask = piece(tie_bucket(g, out))
+            out = assemble.scatter_vector(out, g.row_ids, loss)
+            if keep:
+                pre.append((emb, mask))
     return out, pre
 
 

@@ -47,17 +47,18 @@ class CVaRMF(SaferFamilyMixin, Recommender):
                      pre_list=None):
         cfg = self.cfg
         reg = self._user_reg()
-        pre_list = pre_list or [None] * len(buckets)
-        for b, pre in zip(buckets, pre_list):
+
+        def body(ue, b, pre):
             w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
             p = common.params_weighted_mean(
                 item_emb, b, jnp.full((b.n_rows,), reg, jnp.float32),
                 cfg.uobs_weight, w, dtype=self.asm_dtype, pre=pre)
             u_rows = ue[b.row_ids]
             grad = common.grad_from_params(p, gramian, u_rows)
-            ue = assemble.scatter_rows(ue, b.row_ids,
-                                       u_rows - cfg.stepsize * grad)
-        return ue
+            return assemble.scatter_rows(ue, b.row_ids,
+                                         u_rows - cfg.stepsize * grad)
+
+        return common.sweep_apply(buckets, pre_list, ue, body)
 
     def _grad_step_v(self, v, user_emb, dd: DeviceData, dual):
         cfg = self.cfg
@@ -65,16 +66,18 @@ class CVaRMF(SaferFamilyMixin, Recommender):
         norm_dual = jnp.where(dd.user_hist_size > 0,
                               dual / jnp.maximum(dd.user_hist_size, 1.0),
                               0.0)
-        for b in dd.by_item:
+
+        def body(v, b, _):
             reg = self._item_reg(dd.item_reg, b.row_ids)
             p = common.params_weighted_item(
                 user_emb, b, reg, cfg.uobs_weight, norm_dual,
                 dtype=self.asm_dtype)
             v_rows = v[b.row_ids]
             grad = common.grad_from_params(p, w_gram, v_rows)
-            v = assemble.scatter_rows(v, b.row_ids,
-                                      v_rows - cfg.stepsize * grad)
-        return v
+            return assemble.scatter_rows(v, b.row_ids,
+                                         v_rows - cfg.stepsize * grad)
+
+        return common.sweep_apply(dd.by_item, None, v, body)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         """Phase-shifted like SAFER2._epoch: the reference's trailing

@@ -69,6 +69,125 @@ def gather_history_extra(table: jax.Array, vec: jax.Array, bucket: Bucket,
     return g[..., :-1], mask, g[..., -1].astype(jnp.float32)
 
 
+# --------------------------------------------------------------------------
+# Column-chunked ("wide") assembly for very long histories
+# --------------------------------------------------------------------------
+#
+# Hot items in power-law data have histories of 10^5..10^6 users (the
+# zipf head; real MSD's top songs exceed 10^5 listeners). Materializing
+# their [N, L, d] gathered slab is impossible (one width-2^20 bucket at
+# dim 512 is ~8.6 GB), so rows whose slab would exceed WIDE_SLAB_BYTES
+# stream their history through fixed-width column chunks instead — a
+# lax.scan accumulating the normal-equation pieces, the TPU equivalent
+# of the reference's rank-128 streaming updates (ials.h:107-131).
+
+WIDE_SLAB_BYTES = 768 << 20
+WIDE_CHUNK = 4096
+
+
+def is_wide(bucket: Bucket, dim: int) -> bool:
+    """Stream this bucket through column chunks?  Only when the *width*
+    is the problem (width > dim keeps it off the Woodbury path; narrow
+    slabs are already bounded by the build-time row chunking)."""
+    return bucket.width > dim and (
+        bucket.n_rows * bucket.width * (dim + 1) * 4 > WIDE_SLAB_BYTES)
+
+
+def _wide_chunks(table: jax.Array, vec: Optional[jax.Array],
+                 bucket: Bucket, dtype=None):
+    """Iterator state for column-chunked sweeps: returns (xs, gather_fn)
+    where ``xs = (cols [C, N, W], offs [C])`` scans over column chunks
+    and ``gather_fn(cols_c, off) -> (emb, mask, wt_extra)`` gathers one
+    chunk (``wt_extra`` is None when ``vec`` is None)."""
+    n, l = bucket.col_ids.shape
+    w = min(WIDE_CHUNK, l)
+    c = -(-l // w)
+    cols = bucket.col_ids
+    if c * w != l:
+        cols = jnp.pad(cols, ((0, 0), (0, c * w - l)))
+    cols = cols.reshape(n, c, w).transpose(1, 0, 2)          # [C, N, W]
+    offs = jnp.arange(c, dtype=jnp.int32) * w
+
+    if dtype is not None:
+        table = table.astype(dtype)
+    aug = table if vec is None else jnp.concatenate(
+        [table, vec[:, None].astype(table.dtype)], axis=1)
+
+    def gather_fn(cols_c, off):
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1) + off
+        mask = (pos < bucket.length[:, None]).astype(jnp.float32)
+        g = aug[cols_c] * mask[..., None].astype(aug.dtype)
+        if vec is None:
+            return g, mask, None
+        return g[..., :-1], mask, g[..., -1].astype(jnp.float32)
+
+    return (cols, offs), gather_fn
+
+
+def wide_assemble(table: jax.Array, bucket: Bucket,
+                  extra_vec: Optional[jax.Array] = None,
+                  dtype=None) -> Tuple[jax.Array, jax.Array]:
+    """Streamed ``(sum_h wt v v^T, sum_h wt v)`` over column chunks with
+    ``wt = mask`` (or ``extra[col] * mask`` when ``extra_vec`` given);
+    row-level coefficients are applied by the caller."""
+    n = bucket.n_rows
+    d = table.shape[1]
+    xs, gather_fn = _wide_chunks(table, extra_vec, bucket, dtype)
+
+    def body(carry, x):
+        a, rhs = carry
+        cols_c, off = x
+        emb, mask, wt = gather_fn(cols_c, off)
+        wt = mask if wt is None else wt
+        a = a + row_gramians(emb, col_weight=wt)
+        rhs = rhs + row_sums(emb, col_weight=wt)
+        return (a, rhs), None
+
+    init = (jnp.zeros((n, d, d), jnp.float32),
+            jnp.zeros((n, d), jnp.float32))
+    (a, rhs), _ = jax.lax.scan(body, init, xs)
+    return a, rhs
+
+
+def wide_matvec(table: jax.Array, bucket: Bucket, x: jax.Array,
+                extra_vec: Optional[jax.Array] = None,
+                dtype=None) -> Tuple[jax.Array, jax.Array]:
+    """Streamed ``(sum_h wt v (v.x), sum_h wt v)`` (the history terms of
+    A @ x and rhs) for the gradient models."""
+    n = bucket.n_rows
+    d = table.shape[1]
+    xs, gather_fn = _wide_chunks(table, extra_vec, bucket, dtype)
+
+    def body(carry, xc):
+        ax, rhs = carry
+        cols_c, off = xc
+        emb, mask, wt = gather_fn(cols_c, off)
+        wt = mask if wt is None else wt
+        p = rowwise_dot(emb, x)
+        ax = ax + row_sums(emb, col_weight=wt * p)
+        rhs = rhs + row_sums(emb, col_weight=wt)
+        return (ax, rhs), None
+
+    init = (jnp.zeros((n, d), jnp.float32), jnp.zeros((n, d), jnp.float32))
+    (ax, rhs), _ = jax.lax.scan(body, init, xs)
+    return ax, rhs
+
+
+def wide_obs(table: jax.Array, bucket: Bucket, probe_rows: jax.Array,
+             dtype=None) -> jax.Array:
+    """Streamed per-row ``sum_h (v.u - 1)^2`` for the loss pass."""
+    xs, gather_fn = _wide_chunks(table, None, bucket, dtype)
+
+    def body(acc, xc):
+        cols_c, off = xc
+        emb, mask, _ = gather_fn(cols_c, off)
+        p = rowwise_dot(emb, probe_rows)
+        return acc + jnp.sum(jnp.square(p - 1.0) * mask, axis=1), None
+
+    init = jnp.zeros((bucket.n_rows,), jnp.float32)
+    return jax.lax.scan(body, init, xs)[0]
+
+
 def row_gramians(emb: jax.Array, col_weight: Optional[jax.Array] = None,
                  out_dtype=jnp.float32) -> jax.Array:
     """Batched sum of outer products: [N, L, d] -> [N, d, d].

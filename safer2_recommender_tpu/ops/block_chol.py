@@ -29,13 +29,22 @@ module is pure XLA and runs identically on CPU (used by the test suite).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec
 
 HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _interpret() -> bool:
+    """Pallas interpret mode: lets the CPU test mesh exercise the lane
+    kernels and their SPMD partitioning without TPU hardware."""
+    return os.environ.get("FRT_PALLAS_INTERPRET") == "1"
 
 # Recursion stops here; on TPU the leaf runs as a lane-major Pallas kernel.
 _LEAF = 32
@@ -113,6 +122,7 @@ def _leaf_lane(at: jax.Array) -> jax.Array:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, r, n), jnp.float32),
         input_output_aliases={0: 0},
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=int(2 * n * r ** 3 / 3),
             bytes_accessed=int(2 * n * r * r * 4),
@@ -156,6 +166,7 @@ def _lane_matmul(a: jax.Array, b: jax.Array, *,
         out_specs=pl.BlockSpec((h, h, nl), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, h, n_pad), jnp.float32),
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=int(2 * n_pad * h ** 3),
             bytes_accessed=int(3 * n_pad * h * h * 4),
@@ -190,7 +201,7 @@ def _rec_lane(at: jax.Array) -> jax.Array:
     ], axis=0)
 
 
-def _chol_inverse_leaf(a: jax.Array) -> jax.Array:
+def _chol_inverse_leaf_impl(a: jax.Array) -> jax.Array:
     """Lane-major subtree: a [N, r, r] -> inv(chol(a)), r <= _LANE_MAX."""
     n, r, _ = a.shape
     nl = _LEAF_LANES
@@ -202,11 +213,40 @@ def _chol_inverse_leaf(a: jax.Array) -> jax.Array:
     return jnp.transpose(_rec_lane(at), (2, 0, 1))[:n]
 
 
+# A pallas_call is opaque to the SPMD partitioner, so the lane subtree is
+# wrapped in custom_partitioning declaring it batch-parallel: each device
+# runs the kernels on its local [N/devices, r, r] shard (the internal
+# _LEAF_LANES padding happens per shard). Any sharding of the matrix
+# dims is rejected back to replicated; the batch placement is preserved.
+_chol_inverse_leaf = custom_partitioning(_chol_inverse_leaf_impl)
+
+
+def _leaf_batch_sharding(mesh, arg_shapes):
+    sh = arg_shapes[0].sharding
+    spec = sh.spec if sh is not None and sh.spec is not None else ()
+    batch = spec[0] if len(spec) else None
+    return NamedSharding(mesh, PartitionSpec(batch, None, None))
+
+
+def _leaf_partition(mesh, arg_shapes, result_shape):
+    sh = _leaf_batch_sharding(mesh, arg_shapes)
+    return mesh, _chol_inverse_leaf_impl, sh, (sh,)
+
+
+def _leaf_infer_sharding(mesh, arg_shapes, result_shape):
+    return _leaf_batch_sharding(mesh, arg_shapes)
+
+
+_chol_inverse_leaf.def_partition(
+    partition=_leaf_partition,
+    infer_sharding_from_operands=_leaf_infer_sharding,
+    sharding_rule="n d e -> n d e")
+
+
 def _use_leaf_kernel() -> bool:
-    # Single-device TPU only: a pallas_call is not auto-partitionable
-    # under SPMD, while the pure-XLA recursion shards cleanly over the
-    # batch. (Pod-scale runs can re-enable via shard_map once wrapped.)
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    if _interpret():
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _chol_inverse_rec(a: jax.Array) -> jax.Array:

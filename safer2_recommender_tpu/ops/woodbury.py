@@ -41,18 +41,36 @@ HIGHEST = jax.lax.Precision.HIGHEST
 MIN_DIM = 128
 
 
+class WideHist(NamedTuple):
+    """Column-chunked history descriptor for very long rows (zipf-head
+    items / users): the [N, L, d] slab is never materialized; assembly
+    streams ``ops/assemble.py::wide_*`` scans instead. ``table`` is
+    pre-cast to the compute dtype; ``row_coef`` ([N] or None) scales the
+    accumulated history terms; ``extra_vec`` is a per-row scalar table
+    gathered alongside (the dual weight on the item side)."""
+
+    table: jax.Array
+    bucket: object
+    row_coef: Optional[jax.Array]
+    extra_vec: Optional[jax.Array]
+
+
 class SolveParams(NamedTuple):
     """Per-bucket ingredients of the normal equations (see module doc).
 
     ``emb`` is the masked [N, L, d] history slab (possibly bf16);
     ``wt``/``r`` are [N, L] (masked; ``wt`` >= 0); ``c0``/``c1`` are [N].
+    When ``wide`` is set, emb/wt/r are None and the history terms stream
+    through column chunks (always the direct d x d path: wide rows have
+    width > dim).
     """
 
-    emb: jax.Array
-    wt: jax.Array
-    r: jax.Array
+    emb: Optional[jax.Array]
+    wt: Optional[jax.Array]
+    r: Optional[jax.Array]
     c0: jax.Array
     c1: jax.Array
+    wide: Optional[WideHist] = None
 
 
 def maybe_eigh(gram: jax.Array, dim: int, *, use_cg: bool

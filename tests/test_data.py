@@ -106,3 +106,67 @@ def test_bucket_splitting_matches_unsplit():
         m.train_epoch(dd)
         outs.append(np.asarray(m.state.user_emb))
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-5)
+
+
+def test_bucket_stacks_scan_matches_unsplit():
+    # Heavier chunking makes several same-shape chunks per width; those
+    # run as one lax.scan (models/common.py::BucketStack). Training must
+    # stay numerically identical to the unsplit layout for both the
+    # exact-solve and the blockwise model families.
+    from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
+    from safer2_recommender_tpu.models import common
+
+    rng = np.random.default_rng(1)
+    pairs = np.unique(np.stack([rng.integers(0, 300, 6000),
+                                rng.integers(0, 120, 6000)], 1),
+                      axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    dd_plain = DeviceData.build(ds)
+    dd_chunked = DeviceData.build(ds, dim=16, memory_budget_bytes=64 * 1024)
+    assert any(isinstance(g, common.BucketStack)
+               for g in common.group_same_shape(dd_chunked.by_user))
+
+    for name in ("safer2", "safer2pp"):
+        outs = []
+        for dd in (dd_plain, dd_chunked):
+            m = get_model(name,
+                          Config(dim=16, block_size=8, bandwidth=0.15,
+                                 alpha=0.3, seed=3),
+                          ds.num_users, ds.num_items)
+            m.initialize(dd)
+            m.train_epoch(dd)
+            outs.append(np.asarray(m.state.user_emb))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-5)
+
+
+def test_wide_streamed_assembly_matches_dense(monkeypatch):
+    # Zipf-head rows (hot items with 10^5+ users at MSD scale) stream
+    # their history through column chunks (ops/assemble.py::wide_*)
+    # instead of materializing the [N, L, d] slab; the result must match
+    # the dense path exactly.
+    from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
+    import safer2_recommender_tpu.ops.assemble as assemble
+
+    rng = np.random.default_rng(2)
+    hot = np.stack([np.arange(600), np.zeros(600, dtype=np.int64)], 1)
+    tail = np.stack([rng.integers(0, 600, 5000),
+                     rng.integers(1, 80, 5000)], 1)
+    pairs = np.unique(np.concatenate([hot, tail]), axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    dd = DeviceData.build(ds)
+
+    def run(name):
+        m = get_model(name, Config(dim=16, bandwidth=0.15, alpha=0.3,
+                                   seed=5), ds.num_users, ds.num_items)
+        m.initialize(dd)
+        m.train_epoch(dd)
+        return np.asarray(m.state.item_emb), np.asarray(m.state.user_loss)
+
+    for name in ("safer2", "cvar_mf"):
+        v_ref, l_ref = run(name)
+        monkeypatch.setattr(assemble, "WIDE_SLAB_BYTES", 1)
+        monkeypatch.setattr(assemble, "WIDE_CHUNK", 256)
+        v_wide, l_wide = run(name)
+        monkeypatch.undo()
+        np.testing.assert_allclose(v_wide, v_ref, rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(l_wide, l_ref, rtol=2e-4, atol=2e-5)

@@ -74,3 +74,31 @@ def test_sharded_woodbury_matches_single_device(tiny, mesh):
     np.testing.assert_allclose(np.asarray(m1.state.user_emb),
                                np.asarray(m2.state.user_emb),
                                rtol=5e-3, atol=5e-5)
+
+
+def test_pallas_leaf_partitions_over_batch(mesh, monkeypatch):
+    # The lane-major Pallas solver path is wrapped in custom_partitioning
+    # (ops/block_chol.py) so pods run it per-shard; interpret mode lets
+    # the CPU mesh exercise exactly that partitioning.
+    monkeypatch.setenv("FRT_PALLAS_INTERPRET", "1")
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from safer2_recommender_tpu.ops import block_chol
+
+    rng = np.random.default_rng(0)
+    n, d = 256, 32
+    x = rng.normal(size=(n, d + 3, d)).astype(np.float32)
+    a = np.einsum("nld,nle->nde", x, x) + 2.0 * np.eye(d, dtype=np.float32)
+    b = rng.normal(size=(n, d)).astype(np.float32)
+    ref = np.stack([np.linalg.solve(a[i], b[i]) for i in range(n)])
+
+    a_s = jax.device_put(a, NamedSharding(mesh, P("data", None, None)))
+    b_s = jax.device_put(b, NamedSharding(mesh, P("data", None)))
+    jitted = jax.jit(block_chol.spd_solve)
+    out = jitted(a_s, b_s)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-4)
+    assert out.sharding.spec == P("data")
+    # the partitioned op must not force a gather of the batch
+    txt = jitted.lower(a_s, b_s).compile().as_text()
+    assert "all-gather" not in txt
