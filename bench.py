@@ -44,6 +44,9 @@ def main() -> int:
     import jax
 
     from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
+    from safer2_recommender_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
 
     train = Dataset.from_csv(os.path.join(ML1M_DIR, "train.csv"))
     dd = DeviceData.build(train, dim=DIM)
