@@ -243,6 +243,14 @@ def _build_buckets(
     return tuple(buckets)
 
 
+def _user_major_rank(user_ids: np.ndarray, nnz: int) -> np.ndarray:
+    """rank[file position] = position in the user-sorted tuple order."""
+    order = np.argsort(user_ids, kind="stable")
+    rank = np.empty(nnz, dtype=np.int32)
+    rank[order] = np.arange(nnz, dtype=np.int32)
+    return rank
+
+
 def _segment_arange(counts: np.ndarray) -> np.ndarray:
     """[0..c0-1, 0..c1-1, ...] without a Python loop."""
     total = int(counts.sum())
@@ -268,10 +276,22 @@ def _bucket_budgets(dim: int, budget_bytes: int) -> Tuple[int, int]:
     return int(max_rows), int(max_tuples)
 
 
-def _csr_views(ids: np.ndarray, other: np.ndarray, nnz: int):
-    """Stable sort tuples by ``ids``; returns (sorted ids, other, tuple idx)."""
+def _csr_views(ids: np.ndarray, other: np.ndarray, nnz: int,
+               rank: Optional[np.ndarray] = None):
+    """Stable sort tuples by ``ids``; returns (sorted ids, other, tuple idx).
+
+    ``rank`` renumbers tuples (tuple_idx = rank[file position]). The
+    prediction cache is laid out USER-major (rank = position within the
+    user-sorted order) so each user-bucket row's tuples are one
+    contiguous run — its cache reads/writes become L-wide window
+    gathers/scatters instead of per-element ones (ops/assemble.py::
+    gather_pred_rows). The reference's flat cache is file-ordered
+    (dataset.h:87-88), but the ordering is internal to the cache: only
+    consistency between the two views matters.
+    """
     order = np.argsort(ids, kind="stable")
-    return ids[order], other[order], np.arange(nnz, dtype=np.int32)[order]
+    tidx = np.arange(nnz, dtype=np.int32) if rank is None else rank
+    return ids[order], other[order], tidx[order]
 
 
 @jax.tree_util.register_dataclass
@@ -312,8 +332,11 @@ class DeviceData:
         row_multiple = row_multiple * mesh_lib.num_shards(mesh)
         max_rows, max_tuples = _bucket_budgets(dim, memory_budget_bytes)
 
-        u_rows, u_cols, u_tidx = _csr_views(ds.user_ids, ds.item_ids, ds.nnz)
-        i_rows, i_cols, i_tidx = _csr_views(ds.item_ids, ds.user_ids, ds.nnz)
+        rank = _user_major_rank(ds.user_ids, ds.nnz)
+        u_rows, u_cols, u_tidx = _csr_views(ds.user_ids, ds.item_ids,
+                                            ds.nnz, rank)
+        i_rows, i_cols, i_tidx = _csr_views(ds.item_ids, ds.user_ids,
+                                            ds.nnz, rank)
 
         by_user = _build_buckets(u_rows, u_cols, u_tidx, num_users, ds.nnz,
                                  min_bucket, row_multiple, growth,
@@ -407,7 +430,9 @@ class FoldInData:
         remap = {int(u): i for i, u in enumerate(uniq)}
         compact_u = np.searchsorted(uniq, tr.user_ids).astype(np.int32)
 
-        u_rows, u_cols, u_tidx = _csr_views(compact_u, tr.item_ids, tr.nnz)
+        rank = _user_major_rank(compact_u, tr.nnz)
+        u_rows, u_cols, u_tidx = _csr_views(compact_u, tr.item_ids,
+                                            tr.nnz, rank)
         by_user = _build_buckets(u_rows, u_cols, u_tidx, n_eval, tr.nnz,
                                  min_bucket, row_multiple, growth,
                                  max_rows, max_tuples)

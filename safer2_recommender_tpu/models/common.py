@@ -357,7 +357,8 @@ def params_weighted_item(table_other: jax.Array, bucket: Bucket,
 
 
 def block_solve_sweep(table: jax.Array, pred: jax.Array, buckets,
-                      assemble_fn, s: int, e: int
+                      assemble_fn, s: int, e: int, *,
+                      contiguous: bool = False
                       ) -> Tuple[jax.Array, jax.Array]:
     """One blockwise delta-solve sweep over all buckets with a single
     batched solve (same op-count rationale as ``solve_sweep``).
@@ -382,7 +383,8 @@ def block_solve_sweep(table: jax.Array, pred: jax.Array, buckets,
             d_b = -solve.cholesky_solve(a, rhs)
             pred_delta = assemble.rowwise_dot(emb, d_b) * mask
             prd = assemble.scatter_pred_update(prd, b, pred_delta,
-                                               add=True)
+                                               add=True,
+                                               contiguous=contiguous)
             tbl = write_block(tbl, b, s, e, x_loc + d_b)
             return (tbl, prd), None
 
@@ -402,7 +404,8 @@ def block_solve_sweep(table: jax.Array, pred: jax.Array, buckets,
             ofs += b.n_rows
             pred_delta = assemble.rowwise_dot(emb, d_b) * mask
             pred = assemble.scatter_pred_update(pred, b, pred_delta,
-                                                add=True)
+                                                add=True,
+                                                contiguous=contiguous)
             table = write_block(table, b, s, e, x_loc + d_b)
     return table, pred
 
@@ -410,7 +413,7 @@ def block_solve_sweep(table: jax.Array, pred: jax.Array, buckets,
 def block_assemble_unweighted(
     table_self: jax.Array, other_loc: jax.Array, pred: jax.Array,
     bucket: Bucket, s: int, e: int, g_loc: jax.Array, g_lg: jax.Array,
-    reg_rows: jax.Array, uobs: float, dtype=None,
+    reg_rows: jax.Array, uobs: float, dtype=None, contiguous=False,
 ):
     """iALS++ block delta system (reference ialspp.h:85-145).
 
@@ -420,7 +423,8 @@ def block_assemble_unweighted(
     x_full = table_self[bucket.row_ids]
     x_loc = x_full[:, s:e]
     emb, mask = assemble.gather_history(other_loc, bucket, dtype)
-    resid = assemble.gather_pred(pred, bucket, mask) - mask    # pred-1, masked
+    resid = assemble.gather_pred(pred, bucket, mask,
+                                 contiguous=contiguous) - mask  # pred-1
     a = assemble.row_gramians(emb)
     a = a + uobs * g_loc[None].astype(a.dtype)
     a = assemble.add_ridge(a, reg_rows)
@@ -433,6 +437,7 @@ def block_assemble_user_safer(
     table_self: jax.Array, other_loc: jax.Array, pred: jax.Array,
     bucket: Bucket, s: int, e: int, g_loc: jax.Array, g_lg: jax.Array,
     reg_rows: jax.Array, uobs: float, row_weight: jax.Array, dtype=None,
+    contiguous=False,
 ):
     """SAFER2++ user block system (reference safer2pp.h:97-159):
 
@@ -443,7 +448,8 @@ def block_assemble_user_safer(
     x_full = table_self[bucket.row_ids]
     x_loc = x_full[:, s:e]
     emb, mask = assemble.gather_history(other_loc, bucket, dtype)
-    resid = assemble.gather_pred(pred, bucket, mask) - mask
+    resid = assemble.gather_pred(pred, bucket, mask,
+                                 contiguous=contiguous) - mask
     inv_len = 1.0 / safe_len(bucket)
     w = row_weight
     a = assemble.row_gramians(emb) * inv_len[:, None, None]
@@ -459,6 +465,7 @@ def block_assemble_item_safer(
     table_self: jax.Array, other_loc: jax.Array, pred: jax.Array,
     bucket: Bucket, s: int, e: int, g_loc_w: jax.Array, g_lg_w: jax.Array,
     reg_rows: jax.Array, uobs: float, norm_dual: jax.Array, dtype=None,
+    contiguous=False,
 ):
     """SAFER2++ item block system (reference safer2pp.h:161-216):
 
@@ -470,7 +477,8 @@ def block_assemble_item_safer(
     x_loc = x_full[:, s:e]
     emb, mask, wt = assemble.gather_history_extra(other_loc, norm_dual,
                                                   bucket, dtype)
-    resid = assemble.gather_pred(pred, bucket, mask) - mask
+    resid = assemble.gather_pred(pred, bucket, mask,
+                                 contiguous=contiguous) - mask
     a = assemble.row_gramians(emb, col_weight=wt)
     a = a + uobs * g_loc_w[None].astype(a.dtype)
     a = assemble.add_ridge(a, reg_rows)
@@ -494,14 +502,18 @@ def write_block(table: jax.Array, bucket: Bucket, s: int, e: int,
 
 def predict_all(user_emb: jax.Array, item_emb: jax.Array, by_user,
                 nnz: int, dtype=None) -> jax.Array:
-    """Flat prediction cache over all tuples (reference ialspp.h:469-517)."""
+    """Flat prediction cache over all tuples (reference ialspp.h:469-517).
+
+    User-major cache layout: every by-user write is a contiguous window
+    scatter-add into a zeroed buffer (add == set here)."""
     def body(pred, b, _):
         emb, mask = assemble.gather_history(item_emb, b, dtype)
         u = user_emb[b.row_ids]
         vals = assemble.rowwise_dot(emb, u) * mask
-        return assemble.scatter_pred_update(pred, b, vals, add=False)
+        return assemble.scatter_pred_update(pred, b, vals, add=True,
+                                            contiguous=True)
 
-    return sweep_apply(by_user, None, jnp.zeros((nnz,), jnp.float32),
+    return sweep_apply(by_user, None, assemble.pred_buffer(by_user, nnz),
                        body)
 
 
@@ -531,7 +543,7 @@ def user_losses(user_emb: jax.Array, item_emb: jax.Array,
             emb, mask = assemble.gather_history(item_emb, b, dtype)
             p = assemble.rowwise_dot(emb, u)
         else:
-            p = assemble.gather_pred(pred, b, mask)
+            p = assemble.gather_pred(pred, b, mask, contiguous=True)
         obs = jnp.sum(jnp.square(p - 1.0) * mask, axis=1) / safe_len(b)
         quad = uobs * jnp.einsum("nd,de,ne->n", u, gramian, u)
         loss = obs + quad

@@ -42,7 +42,7 @@ class IALSpp(Recommender):
         return [(s, min(s + bs, d)) for s in range(0, d, bs)]
 
     def _block_sweep(self, table_self, table_other, pred, buckets,
-                     s, e, num_choices):
+                     s, e, num_choices, *, contiguous=False):
         """One Step over one side for one block (reference
         ialspp.h:351-424)."""
         cfg = self.cfg
@@ -55,17 +55,19 @@ class IALSpp(Recommender):
                                   cfg.l2_reg_exp, cfg.uobs_weight)
             return common.block_assemble_unweighted(
                 table_self, other_loc, pred, b, s, e, g_loc, g_lg,
-                reg, cfg.uobs_weight, dtype=self.asm_dtype)
+                reg, cfg.uobs_weight, dtype=self.asm_dtype,
+                contiguous=contiguous)
 
         return common.block_solve_sweep(table_self, pred, buckets,
-                                        assemble_fn, s, e)
+                                        assemble_fn, s, e,
+                                        contiguous=contiguous)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         u, v = state.user_emb, state.item_emb
         pred = common.predict_all(u, v, dd.by_user, dd.nnz, dtype=self.asm_dtype)
         for (s, e) in self._blocks():
             u, pred = self._block_sweep(u, v, pred, dd.by_user, s, e,
-                                        dd.num_items)
+                                        dd.num_items, contiguous=True)
             v, pred = self._block_sweep(v, u, pred, dd.by_item, s, e,
                                         dd.num_users)
         gram = v.T @ v

@@ -65,9 +65,10 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
             return common.block_assemble_user_safer(
                 u, v_loc, pred, b, s, e, g_loc, g_lg,
                 jnp.full((b.n_rows,), reg, jnp.float32),
-                cfg.uobs_weight, w, dtype=self.asm_dtype)
+                cfg.uobs_weight, w, dtype=self.asm_dtype, contiguous=True)
 
-        return common.block_solve_sweep(u, pred, buckets, assemble_fn, s, e)
+        return common.block_solve_sweep(u, pred, buckets, assemble_fn, s, e,
+                                        contiguous=True)
 
     def _block_sweep_v(self, v, u, pred, dd: DeviceData, s, e, dual):
         cfg = self.cfg
