@@ -24,12 +24,17 @@ the bucket, compiled once per (N, L) shape. Padding conventions:
   * padded rows:    row_ids == num_rows (out of bounds -> scatter drops),
                     length == 0
   * padded columns: col_ids == 0 (masked via length),
-                    tuple_idx == nnz (out of bounds -> scatter drops;
-                    gathers clamp and are masked)
+                    tuple_idx == pred_size in the by-item view (out of
+                    bounds -> scatter drops; gathers clamp and are
+                    masked); a real slab slot in the by-user view
 
-Tuple order is the original file order, preserving the reference's
-``rating_index`` semantics exactly, so the prediction cache is a flat
-[nnz] device array shared by the by-user and by-item views.
+The flat prediction cache shared by the two views is laid out in
+BY-USER SLAB ORDER (``_build_buckets(slab=True)``): cache position =
+bucket slab offset + row*L + column, padding slots included. Each
+by-user bucket's cache traffic is then one contiguous dynamic-slice —
+no gather/scatter — and only the by-item view pays element scatters.
+The reference's cache is file-ordered (dataset.h:87-88); the ordering
+is internal, only consistency between the two views matters.
 
 On a device mesh, bucket rows are sharded over the "data" axis; the
 embedding tables stay replicated (catalog sides are small for these
@@ -180,7 +185,9 @@ def _build_buckets(
     growth: int,
     max_rows: int = 0,
     max_tuples: int = 0,
-) -> Tuple[Bucket, ...]:
+    slab: bool = False,
+    pad_tidx: Optional[int] = None,
+):
     """Group rows by history length into padded tiles whose widths grow
     by ``growth`` per bucket. A coarser ladder (growth=4) pads more tuples
     (~2.1x vs ~1.4x on ML-1M) but quarters the number of per-bucket op
@@ -192,9 +199,25 @@ def _build_buckets(
     slab of [rows, d, d] normal equations / [rows, L, d] gathered
     embeddings. Required beyond ML-1M scale: MSD (571k users, dim 512)
     would otherwise need ~600GB for one bucket's batched systems — the
-    reference instead streams one user at a time (ials.h:326-361)."""
+    reference instead streams one user at a time (ials.h:326-361).
+
+    With ``slab`` the buckets define the PREDICTION-CACHE LAYOUT: every
+    slot of every bucket (padding included) gets a distinct cache
+    position ``slab_ofs + n*L + l``, so a bucket's cache traffic is one
+    contiguous slice of the flat cache — no gather/scatter at all on
+    this side (ops/assemble.py::gather_pred). Returns
+    ``(buckets, pad_map, total_slots)`` where ``pad_map[sorted_tidx] =
+    cache position`` re-keys the OTHER adjacency view onto this layout.
+    The reference's flat cache is file-ordered (dataset.h:87-88); the
+    ordering is internal — only consistency between views matters.
+    ``pad_tidx`` is the padding fill for tuple_idx (defaults to nnz).
+    """
+    pad_map = np.empty(nnz, dtype=np.int32) if slab else None
     if sorted_rows.size == 0:
-        return ()
+        return (), pad_map, 0
+    if pad_tidx is None:
+        pad_tidx = nnz
+    slab_ofs = 0
     uniq, starts, counts = np.unique(
         sorted_rows, return_index=True, return_counts=True)
     max_len = int(counts.max())
@@ -225,14 +248,23 @@ def _build_buckets(
             length = np.zeros(n_pad, dtype=np.int32)
             length[:n] = ct[lo:hi]
             col_ids = np.zeros((n_pad, edge), dtype=np.int32)
-            tidx = np.full((n_pad, edge), nnz, dtype=np.int32)
+            tidx = np.full((n_pad, edge), pad_tidx, dtype=np.int32)
             # Vectorized ragged fill: flat (row, offset-within-row) pairs.
             cts = ct[lo:hi]
             row_of = np.repeat(np.arange(n), cts)
             off = _segment_arange(cts)
             gidx = np.repeat(st[lo:hi], cts) + off
             col_ids[row_of, off] = sorted_cols[gidx]
-            tidx[row_of, off] = sorted_tidx[gidx]
+            if slab:
+                tidx = slab_ofs + (
+                    np.arange(n_pad, dtype=np.int32)[:, None] * edge
+                    + np.arange(edge, dtype=np.int32)[None, :])
+                pad_map[sorted_tidx[gidx]] = (
+                    slab_ofs + row_of.astype(np.int32) * edge
+                    + off.astype(np.int32))
+                slab_ofs += n_pad * edge
+            else:
+                tidx[row_of, off] = sorted_tidx[gidx]
             buckets.append(
                 Bucket(
                     row_ids=jnp.asarray(row_ids),
@@ -240,15 +272,7 @@ def _build_buckets(
                     tuple_idx=jnp.asarray(tidx),
                     length=jnp.asarray(length),
                 ))
-    return tuple(buckets)
-
-
-def _user_major_rank(user_ids: np.ndarray, nnz: int) -> np.ndarray:
-    """rank[file position] = position in the user-sorted tuple order."""
-    order = np.argsort(user_ids, kind="stable")
-    rank = np.empty(nnz, dtype=np.int32)
-    rank[order] = np.arange(nnz, dtype=np.int32)
-    return rank
+    return tuple(buckets), pad_map, slab_ofs
 
 
 def _segment_arange(counts: np.ndarray) -> np.ndarray:
@@ -280,15 +304,9 @@ def _csr_views(ids: np.ndarray, other: np.ndarray, nnz: int,
                rank: Optional[np.ndarray] = None):
     """Stable sort tuples by ``ids``; returns (sorted ids, other, tuple idx).
 
-    ``rank`` renumbers tuples (tuple_idx = rank[file position]). The
-    prediction cache is laid out USER-major (rank = position within the
-    user-sorted order) so each user-bucket row's tuples are one
-    contiguous run — its cache reads/writes become L-wide window
-    gathers/scatters instead of per-element ones (ops/assemble.py::
-    gather_pred_rows). The reference's flat cache is file-ordered
-    (dataset.h:87-88), but the ordering is internal to the cache: only
-    consistency between the two views matters.
-    """
+    ``rank`` renumbers tuples (tuple_idx = rank[file position]) — used to
+    key the by-item view onto the by-user slab cache layout (see
+    ``_build_buckets``)."""
     order = np.argsort(ids, kind="stable")
     tidx = np.arange(nnz, dtype=np.int32) if rank is None else rank
     return ids[order], other[order], tidx[order]
@@ -313,6 +331,10 @@ class DeviceData:
     num_users: int = dataclasses.field(metadata=dict(static=True))
     num_items: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    # Flat prediction-cache length: total by-user slab slots (>= nnz;
+    # padding slots hold zeros). See _build_buckets(slab=True).
+    pred_size: int = dataclasses.field(metadata=dict(static=True),
+                                       default=0)
 
     @classmethod
     def build(
@@ -332,18 +354,19 @@ class DeviceData:
         row_multiple = row_multiple * mesh_lib.num_shards(mesh)
         max_rows, max_tuples = _bucket_budgets(dim, memory_budget_bytes)
 
-        rank = _user_major_rank(ds.user_ids, ds.nnz)
         u_rows, u_cols, u_tidx = _csr_views(ds.user_ids, ds.item_ids,
-                                            ds.nnz, rank)
-        i_rows, i_cols, i_tidx = _csr_views(ds.item_ids, ds.user_ids,
-                                            ds.nnz, rank)
+                                            ds.nnz)
+        by_user, pad_map, pred_size = _build_buckets(
+            u_rows, u_cols, u_tidx, num_users, ds.nnz,
+            min_bucket, row_multiple, growth, max_rows, max_tuples,
+            slab=True)
 
-        by_user = _build_buckets(u_rows, u_cols, u_tidx, num_users, ds.nnz,
-                                 min_bucket, row_multiple, growth,
-                                 max_rows, max_tuples)
-        by_item = _build_buckets(i_rows, i_cols, i_tidx, num_items, ds.nnz,
-                                 min_bucket, row_multiple, growth,
-                                 max_rows, max_tuples)
+        i_rows, i_cols, i_tidx = _csr_views(ds.item_ids, ds.user_ids,
+                                            ds.nnz, rank=pad_map)
+        by_item, _, _ = _build_buckets(
+            i_rows, i_cols, i_tidx, num_items, ds.nnz,
+            min_bucket, row_multiple, growth, max_rows, max_tuples,
+            pad_tidx=pred_size)
 
         uh = np.zeros(num_users, dtype=np.float32)
         np.add.at(uh, ds.user_ids, 1.0)
@@ -361,6 +384,7 @@ class DeviceData:
             num_users=num_users,
             num_items=num_items,
             nnz=ds.nnz,
+            pred_size=pred_size,
         )
         if mesh is not None:
             dd = dd.shard(mesh)
@@ -408,6 +432,8 @@ class FoldInData:
     n_pad: int = dataclasses.field(metadata=dict(static=True))
     num_items: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    pred_size: int = dataclasses.field(metadata=dict(static=True),
+                                       default=0)
 
     @classmethod
     def build(
@@ -430,12 +456,12 @@ class FoldInData:
         remap = {int(u): i for i, u in enumerate(uniq)}
         compact_u = np.searchsorted(uniq, tr.user_ids).astype(np.int32)
 
-        rank = _user_major_rank(compact_u, tr.nnz)
         u_rows, u_cols, u_tidx = _csr_views(compact_u, tr.item_ids,
-                                            tr.nnz, rank)
-        by_user = _build_buckets(u_rows, u_cols, u_tidx, n_eval, tr.nnz,
-                                 min_bucket, row_multiple, growth,
-                                 max_rows, max_tuples)
+                                            tr.nnz)
+        by_user, _, pred_size = _build_buckets(
+            u_rows, u_cols, u_tidx, n_eval, tr.nnz,
+            min_bucket, row_multiple, growth, max_rows, max_tuples,
+            slab=True)
 
         n_pad = _round_up(max(n_eval, 1), max(chunk, row_multiple))
 
@@ -478,6 +504,7 @@ class FoldInData:
             n_pad=n_pad,
             num_items=num_items,
             nnz=tr.nnz,
+            pred_size=pred_size,
         )
         if mesh is not None:
             rep = mesh_lib.replicated(mesh)

@@ -501,19 +501,19 @@ def write_block(table: jax.Array, bucket: Bucket, s: int, e: int,
 
 
 def predict_all(user_emb: jax.Array, item_emb: jax.Array, by_user,
-                nnz: int, dtype=None) -> jax.Array:
+                pred_size: int, dtype=None) -> jax.Array:
     """Flat prediction cache over all tuples (reference ialspp.h:469-517).
 
-    User-major cache layout: every by-user write is a contiguous window
-    scatter-add into a zeroed buffer (add == set here)."""
+    The cache is in by-user slab order, so every write here is one
+    contiguous update-slice of masked values (padding slots get 0)."""
     def body(pred, b, _):
         emb, mask = assemble.gather_history(item_emb, b, dtype)
         u = user_emb[b.row_ids]
         vals = assemble.rowwise_dot(emb, u) * mask
-        return assemble.scatter_pred_update(pred, b, vals, add=True,
+        return assemble.scatter_pred_update(pred, b, vals, add=False,
                                             contiguous=True)
 
-    return sweep_apply(by_user, None, assemble.pred_buffer(by_user, nnz),
+    return sweep_apply(by_user, None, assemble.pred_buffer(pred_size),
                        body)
 
 

@@ -64,7 +64,7 @@ class IALSpp(Recommender):
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         u, v = state.user_emb, state.item_emb
-        pred = common.predict_all(u, v, dd.by_user, dd.nnz, dtype=self.asm_dtype)
+        pred = common.predict_all(u, v, dd.by_user, dd.pred_size, dtype=self.asm_dtype)
         for (s, e) in self._blocks():
             u, pred = self._block_sweep(u, v, pred, dd.by_user, s, e,
                                         dd.num_items, contiguous=True)
@@ -81,7 +81,7 @@ class IALSpp(Recommender):
         v = state.item_emb
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         for _ in range(self.cfg.eval_fold_in_epochs):
-            pred = common.predict_all(ue, v, fold.by_user, fold.nnz, dtype=self.asm_dtype)
+            pred = common.predict_all(ue, v, fold.by_user, fold.pred_size, dtype=self.asm_dtype)
             for (s, e) in self._blocks():
                 ue, pred = self._block_sweep(ue, v, pred, fold.by_user,
                                              s, e, self.num_items)

@@ -93,7 +93,7 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         cfg = self.cfg
         u, v = state.user_emb, state.item_emb
         loss, dual = state.user_loss, state.dual_weight
-        pred = common.predict_all(u, v, dd.by_user, dd.nnz, dtype=self.asm_dtype)
+        pred = common.predict_all(u, v, dd.by_user, dd.pred_size, dtype=self.asm_dtype)
         gram = state.item_gramian
         for _ in range(cfg.pd_iterations):
             # Vectorized z-step over the full dual vector
@@ -124,7 +124,7 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         @jax.jit
         def _init(state: MFState):
             pred = common.predict_all(state.user_emb, state.item_emb,
-                                      dd.by_user, dd.nnz, dtype=self.asm_dtype)
+                                      dd.by_user, dd.pred_size, dtype=self.asm_dtype)
             loss = common.user_losses(
                 state.user_emb, state.item_emb, state.item_gramian,
                 dd.by_user, dd.num_users, self.cfg.uobs_weight,
@@ -148,7 +148,7 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         ones = jnp.ones((fold.n_pad,), jnp.float32)
         for _ in range(self.cfg.eval_fold_in_epochs):
-            pred = common.predict_all(ue, v, fold.by_user, fold.nnz, dtype=self.asm_dtype)
+            pred = common.predict_all(ue, v, fold.by_user, fold.pred_size, dtype=self.asm_dtype)
             for (s, e) in self._blocks():
                 ue, pred = self._block_sweep_u(ue, v, pred, fold.by_user,
                                                s, e, ones)

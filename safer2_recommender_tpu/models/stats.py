@@ -40,8 +40,12 @@ def loss_decomposition(
     """Returns (loss, loss_observed, loss_unobserved, loss_reg,
     reg_user_now, reg_item_now) — the six scalars of the reference's
     stats line."""
-    pred = common.predict_all(user_emb, item_emb, dd.by_user, dd.nnz)
-    loss_observed = jnp.sum(jnp.square(pred - 1.0))
+    pred = common.predict_all(user_emb, item_emb, dd.by_user,
+                              dd.pred_size)
+    # Slab-layout padding slots hold exactly 0 and would each contribute
+    # (0-1)^2 = 1 to the sum; subtract their count.
+    loss_observed = jnp.sum(jnp.square(pred - 1.0)) - (
+        dd.pred_size - dd.nnz)
 
     u_present = (dd.user_hist_size > 0).astype(jnp.float32)
     i_present = (dd.item_hist_size > 0).astype(jnp.float32)

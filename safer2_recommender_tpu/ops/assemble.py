@@ -252,54 +252,51 @@ def gather_pred(pred: jax.Array, bucket: Bucket, mask: jax.Array,
                 contiguous: bool = False) -> jax.Array:
     """Prediction-cache gather for the bucket's tuples: [N, L] (masked).
 
-    The cache is laid out user-major (data/dataset.py::_user_major_rank)
-    so by-user buckets' rows are contiguous runs: with ``contiguous``
-    the read is an L-wide window gather keyed by each row's start — the
-    row-gather fast path — instead of N*L element gathers (measured
-    ~25x cheaper per pass; element gathers can't fill 8x128 tiles).
-    Windows spill into the neighbouring rows' tuples / the buffer slack
-    (see ``pred_buffer``); the mask annihilates the spill.
+    The cache is laid out in by-user slab order (data/dataset.py::
+    _build_buckets(slab=True)): each by-user bucket owns one contiguous
+    [N*L] run of the cache, padding slots included, starting at
+    ``tuple_idx[0, 0]``. With ``contiguous`` the read is a single
+    dynamic-slice + reshape — no gather at all. (A per-row L-wide window
+    gather was tried first and benched SLOWER than element gathers:
+    TPU gathers are only fast on dim-0 rows of 2-D operands, and 1-D
+    windows at arbitrary starts lane-shift every row.) The by-item view
+    keeps the element-gather path.
     """
     if contiguous:
-        l = bucket.width
-        starts = bucket.tuple_idx[:, 0]
-        win = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(pred, (s,), (l,)))(starts)
-        return win * mask
+        n, l = bucket.col_ids.shape
+        flat = jax.lax.dynamic_slice(pred, (bucket.tuple_idx[0, 0],),
+                                     (n * l,))
+        return flat.reshape(n, l) * mask
     return pred[jnp.minimum(bucket.tuple_idx, pred.shape[0] - 1)] * mask
 
 
-def pred_buffer(by_user, nnz: int) -> jax.Array:
-    """Zeroed flat prediction cache with window slack: by-user rows'
-    L-wide windows may run past their history (masked zeros land there),
-    so the buffer extends ``max width`` beyond nnz; padded rows (start ==
-    nnz) read/write entirely inside the slack."""
-    slack = max((b.width for b in by_user), default=0)
-    return jnp.zeros((nnz + slack,), dtype=jnp.float32)
+def pred_buffer(pred_size: int) -> jax.Array:
+    """Zeroed flat prediction cache in by-user slab order
+    (``DeviceData.pred_size`` slots; padding slots stay zero)."""
+    return jnp.zeros((pred_size,), dtype=jnp.float32)
 
 
 def scatter_pred_update(pred: jax.Array, bucket: Bucket,
                         values: jax.Array, *, add: bool,
                         contiguous: bool = False) -> jax.Array:
-    """Write/accumulate per-tuple values into the flat prediction cache.
+    """Write/accumulate per-tuple values into the flat prediction cache —
+    the exact-math replacement for the reference's lock-free racy cache
+    updates (ialspp.h:399-406, safer2pp.h:504-508). ``values`` must
+    already be masked.
 
-    Padded slots carry tuple_idx == nnz and land in the buffer slack —
-    this is the exact-math replacement for the reference's lock-free
-    racy cache updates (ialspp.h:399-406, safer2pp.h:504-508).
-    ``values`` must already be masked. With ``contiguous`` (by-user
-    buckets) the update is an L-wide window scatter-add; the window
-    overlap into neighbouring tuples adds masked zeros, which is why
-    only ``add`` supports the window form.
+    With ``contiguous`` (by-user buckets, which own a whole slab run of
+    the cache) the update is one dynamic-update-slice (plus a slice-read
+    for ``add``); padding slots receive masked zeros. By-item buckets
+    use element scatters; their padded slots carry tuple_idx ==
+    pred_size (out of bounds -> dropped).
     """
     if contiguous:
-        assert add, "window scatter requires add mode (overlap adds 0)"
-        dn = jax.lax.ScatterDimensionNumbers(
-            update_window_dims=(1,), inserted_window_dims=(),
-            scatter_dims_to_operand_dims=(0,))
-        return jax.lax.scatter_add(
-            pred, bucket.tuple_idx[:, :1], values, dn,
-            indices_are_sorted=True, unique_indices=False,
-            mode=jax.lax.GatherScatterMode.CLIP)
+        n, l = bucket.col_ids.shape
+        start = bucket.tuple_idx[0, 0]
+        vals = values.reshape(n * l).astype(pred.dtype)
+        if add:
+            vals = vals + jax.lax.dynamic_slice(pred, (start,), (n * l,))
+        return jax.lax.dynamic_update_slice(pred, vals, (start,))
     if add:
         return pred.at[bucket.tuple_idx.reshape(-1)].add(
             values.reshape(-1), mode="drop")

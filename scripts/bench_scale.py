@@ -6,7 +6,7 @@ steady-state epoch time + users/s/chip. Zero-egress environments cannot
 download MSD itself; this proves the memory plan and measures the
 device-rate at the north-star dimension.
 
-Usage: python scripts/bench_scale.py [num_users] [num_items] [dim]
+Usage: python scripts/bench_scale.py [num_users] [num_items] [dim] [model]
 """
 import sys
 import time
@@ -16,6 +16,7 @@ import numpy as np
 NUM_USERS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 NUM_ITEMS = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000
 DIM = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+MODEL = sys.argv[4] if len(sys.argv) > 4 else "safer2"
 MEAN_HIST = 40
 
 
@@ -50,7 +51,7 @@ def main():
     cfg = Config(dim=DIM, uobs_weight=0.0004, l2_reg=0.0012, alpha=0.3,
                  bandwidth=0.1, use_snr=True, sampling_ratio=0.1,
                  xi_iterations=5, pd_iterations=1)
-    model = get_model("safer2", cfg, ds.num_users, ds.num_items)
+    model = get_model(MODEL, cfg, ds.num_users, ds.num_items)
     t0 = time.perf_counter()
     model.initialize(dd)
     model.train_epochs(dd, 1)

@@ -26,14 +26,19 @@ def test_roundtrip(tiny):
     ds, dd = tiny
     rows, cols, tidx = _pairs_from_buckets(dd.by_user, ds.nnz)
     assert len(rows) == ds.nnz
-    # tuple_idx must map back to the original COO entries
-    assert np.array_equal(ds.user_ids[tidx], rows)
-    assert np.array_equal(ds.item_ids[tidx], cols)
+    # every tuple gets a distinct cache position inside the slab buffer
     assert len(np.unique(tidx)) == ds.nnz
-
+    assert tidx.max() < dd.pred_size
+    # by_user recovers the COO multiset
+    assert sorted(zip(rows.tolist(), cols.tolist())) == sorted(
+        zip(ds.user_ids.tolist(), ds.item_ids.tolist()))
+    # both views must agree on each tuple's cache position
+    pos_to_ui = {int(t): (int(r), int(c))
+                 for r, c, t in zip(rows, cols, tidx)}
     rows_i, cols_i, tidx_i = _pairs_from_buckets(dd.by_item, ds.nnz)
-    assert np.array_equal(ds.item_ids[tidx_i], rows_i)
-    assert np.array_equal(ds.user_ids[tidx_i], cols_i)
+    assert len(rows_i) == ds.nnz
+    assert all(pos_to_ui[int(t)] == (int(c), int(r))
+               for r, c, t in zip(rows_i, cols_i, tidx_i))
 
 
 def test_hist_and_reg_stats(tiny):
@@ -50,16 +55,32 @@ def test_hist_and_reg_stats(tiny):
 
 def test_padding_sentinels(tiny):
     ds, dd = tiny
+    slabs = []
     for b in dd.by_user:
         r = np.asarray(b.row_ids)
         ln = np.asarray(b.length)
         t = np.asarray(b.tuple_idx)
         assert np.all(r[ln == 0] == dd.num_users)
-        # padded column slots point out of bounds (dropped by scatters)
+        # by_user buckets own contiguous cache slabs: position =
+        # slab offset + row*width + col for EVERY slot
         n, width = t.shape
-        pos = np.arange(width)[None, :]
+        expect = t[0, 0] + (np.arange(n)[:, None] * width
+                            + np.arange(width)[None, :])
+        assert np.array_equal(t, expect)
+        slabs.append((int(t[0, 0]), n * width))
+    # slabs tile [0, pred_size) without gaps or overlap
+    slabs.sort()
+    assert slabs[0][0] == 0
+    for (o1, s1), (o2, _) in zip(slabs, slabs[1:]):
+        assert o1 + s1 == o2
+    assert slabs[-1][0] + slabs[-1][1] == dd.pred_size
+    for b in dd.by_item:
+        ln = np.asarray(b.length)
+        t = np.asarray(b.tuple_idx)
+        # padded by-item slots point out of bounds (dropped by scatters)
+        pos = np.arange(t.shape[1])[None, :]
         pad_mask = pos >= ln[:, None]
-        assert np.all(t[pad_mask] == ds.nnz)
+        assert np.all(t[pad_mask] == dd.pred_size)
 
 
 def test_fold_in_data(tiny):
