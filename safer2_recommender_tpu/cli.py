@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=0,
                    help="shard over this many devices (0 = single device)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eig_refresh_tol", type=float, default=3e-2,
+                   help="warm-started Woodbury eigh refresh tolerance "
+                        "(0 = always full eigh)")
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--profile_dir", default=None,
@@ -135,6 +138,7 @@ def main(argv=None) -> int:
         use_snr=bool(args.use_snr), use_cg=bool(args.use_cg),
         cg_error_tolerance=args.cg_error_tolerance,
         cg_max_iterations=args.cg_max_iterations,
+        eig_refresh_tol=args.eig_refresh_tol,
         epochs=args.epoch, seed=args.seed,
     )
 

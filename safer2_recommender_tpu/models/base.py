@@ -47,6 +47,11 @@ class MFState:
     steps: jax.Array         # epochs trained (selects the reference's
                              # Initialize-time xi warm start on epoch 0;
                              # see SAFER2._epoch)
+    eig_qu: jax.Array        # [dim, dim] warm eigenbasis of the user
+                             # sweep's shared Gramian (Woodbury refresh,
+                             # ops/woodbury.py::refresh_eigh)
+    eig_qv: jax.Array        # [dim, dim] warm eigenbasis of the item
+                             # sweep's shared Gramian
 
     def replace(self, **kw) -> "MFState":
         return dataclasses.replace(self, **kw)
@@ -87,6 +92,8 @@ class Recommender:
             xi=jnp.float32(0.0),
             key=kr,
             steps=jnp.int32(0),
+            eig_qu=jnp.eye(cfg.dim, dtype=jnp.float32),
+            eig_qv=jnp.eye(cfg.dim, dtype=jnp.float32),
         )
         self._epoch_jit = jax.jit(self._epoch)
         self._fold_in_jit = jax.jit(self._fold_in)

@@ -123,7 +123,12 @@ def assemble_from_params(p: SolveParams, gram: jax.Array
                          ) -> Tuple[jax.Array, jax.Array]:
     """Direct normal equations from the shared parameterization:
 
-    A = c0*I + c1*G + emb^T diag(wt) emb ;  rhs = emb^T r.
+    A = c1*G + emb^T diag(wt) emb ;  rhs = emb^T r.
+
+    The ridge c0*I is NOT added here: it rides the solver's lazy
+    diagonal shift (``solve.solve(..., ridge=p.c0)`` /
+    ``block_chol._leaf_kernel``) — a slab-wide eye add is a full
+    memory-bound pass over the [N, d, d] systems.
     """
     if p.wide is not None:
         wh = p.wide
@@ -136,7 +141,6 @@ def assemble_from_params(p: SolveParams, gram: jax.Array
         a = assemble.row_gramians(p.emb, col_weight=p.wt)
         rhs = assemble.row_sums(p.emb, col_weight=p.r)
     a = a + p.c1[:, None, None] * gram[None].astype(a.dtype)
-    a = assemble.add_ridge(a, p.c0)
     return a, rhs
 
 
@@ -196,17 +200,23 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
             b = dataclasses.replace(b, col_ids=b.col_ids + token)
             return params_fn(b)
         p = params_fn(b, pre)
-        return p._replace(c0=p.c0 + ftoken)
+        # Tie the [N, L] weights (an einsum operand) so the [N, d, d]
+        # system slab itself is data-dependent on the previous group —
+        # the ridge no longer enters the assembly (it rides the solver),
+        # so tying c0 alone would let XLA schedule every group's einsum
+        # output live at once.
+        return p._replace(wt=p.wt + ftoken, c0=p.c0 + ftoken)
 
     def is_wood(g) -> bool:
         return eig is not None and woodbury.applicable(g.width, dim)
 
     def solve_one(b, pre):
+        p = make(b, pre)
         if is_wood(b):
-            return woodbury.solve(make(b, pre), *eig)
-        a, rhs = assemble_from_params(make(b, pre), gram)
+            return woodbury.solve(p, *eig)
+        a, rhs = assemble_from_params(p, gram)
         return solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
-                           max_iters=cg_iters)
+                           max_iters=cg_iters, ridge=p.c0)
 
     # Same-shape stacks: one scan each (the scan carries the table, so
     # chunks serialize and the body's op graph appears once).
@@ -243,15 +253,17 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
 
     pres = {id(b): p for b, p in direct}
     for group in _solve_groups([b for b, _ in direct], dim):
-        systems = [assemble_from_params(make(b, pres[id(b)]), gram)
-                   for b in group]
+        ps = [make(b, pres[id(b)]) for b in group]
+        systems = [assemble_from_params(p, gram) for p in ps]
         if len(group) == 1:
             a, rhs = systems[0]
+            ridge = ps[0].c0
         else:
             a = jnp.concatenate([s[0] for s in systems], axis=0)
             rhs = jnp.concatenate([s[1] for s in systems], axis=0)
+            ridge = jnp.concatenate([p.c0 for p in ps], axis=0)
         x = solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
-                        max_iters=cg_iters)
+                        max_iters=cg_iters, ridge=ridge)
         token = (x[0, 0] == jnp.inf).astype(jnp.int32)   # always 0
         ftoken = token.astype(jnp.float32)
         ofs = 0
@@ -363,8 +375,9 @@ def block_solve_sweep(table: jax.Array, pred: jax.Array, buckets,
     """One blockwise delta-solve sweep over all buckets with a single
     batched solve (same op-count rationale as ``solve_sweep``).
 
-    ``assemble_fn(bucket) -> (a, rhs, x_loc, emb, mask)``; the new local
-    rows are ``x_loc - A^-1 rhs`` and the prediction cache is advanced by
+    ``assemble_fn(bucket) -> (a, rhs, x_loc, emb, mask, ridge)`` (the
+    ridge rides the solver's lazy diagonal shift); the new local rows
+    are ``x_loc - A^-1 rhs`` and the prediction cache is advanced by
     ``emb @ delta`` per tuple (reference ialspp.h:399-406 / safer2pp.h:
     504-508, as exact scatter-adds instead of lock-free racy writes).
     """
@@ -379,8 +392,9 @@ def block_solve_sweep(table: jax.Array, pred: jax.Array, buckets,
 
         def body(carry, b):
             tbl, prd = carry
-            a, rhs, x_loc, emb, mask = assemble_fn(tie_bucket(b, tbl))
-            d_b = -solve.cholesky_solve(a, rhs)
+            a, rhs, x_loc, emb, mask, ridge = assemble_fn(
+                tie_bucket(b, tbl))
+            d_b = -solve.cholesky_solve(a, rhs, ridge)
             pred_delta = assemble.rowwise_dot(emb, d_b) * mask
             prd = assemble.scatter_pred_update(prd, b, pred_delta,
                                                add=True,
@@ -393,13 +407,14 @@ def block_solve_sweep(table: jax.Array, pred: jax.Array, buckets,
     for group in _solve_groups(singles, e - s):
         systems = [assemble_fn(b) for b in group]
         if len(group) == 1:
-            a, rhs = systems[0][0], systems[0][1]
+            a, rhs, ridge = systems[0][0], systems[0][1], systems[0][5]
         else:
             a = jnp.concatenate([t[0] for t in systems], axis=0)
             rhs = jnp.concatenate([t[1] for t in systems], axis=0)
-        delta = -solve.cholesky_solve(a, rhs)
+            ridge = jnp.concatenate([t[5] for t in systems], axis=0)
+        delta = -solve.cholesky_solve(a, rhs, ridge)
         ofs = 0
-        for b, (_, _, x_loc, emb, mask) in zip(group, systems):
+        for b, (_, _, x_loc, emb, mask, _r) in zip(group, systems):
             d_b = delta[ofs:ofs + b.n_rows]
             ofs += b.n_rows
             pred_delta = assemble.rowwise_dot(emb, d_b) * mask
@@ -427,10 +442,9 @@ def block_assemble_unweighted(
                                  contiguous=contiguous) - mask  # pred-1
     a = assemble.row_gramians(emb)
     a = a + uobs * g_loc[None].astype(a.dtype)
-    a = assemble.add_ridge(a, reg_rows)
     rhs = assemble.row_sums(emb, col_weight=resid)
     rhs = rhs + uobs * (x_full @ g_lg.T) + reg_rows[:, None] * x_loc
-    return a, rhs, x_loc, emb, mask
+    return a, rhs, x_loc, emb, mask, reg_rows
 
 
 def block_assemble_user_safer(
@@ -454,11 +468,10 @@ def block_assemble_user_safer(
     w = row_weight
     a = assemble.row_gramians(emb) * inv_len[:, None, None]
     a = (a + uobs * g_loc[None].astype(a.dtype)) * w[:, None, None]
-    a = assemble.add_ridge(a, reg_rows)
     rhs = assemble.row_sums(emb, col_weight=resid) * (w * inv_len)[:, None]
     rhs = rhs + (uobs * w)[:, None] * (x_full @ g_lg.T)
     rhs = rhs + reg_rows[:, None] * x_loc
-    return a, rhs, x_loc, emb, mask
+    return a, rhs, x_loc, emb, mask, reg_rows
 
 
 def block_assemble_item_safer(
@@ -481,10 +494,9 @@ def block_assemble_item_safer(
                                  contiguous=contiguous) - mask
     a = assemble.row_gramians(emb, col_weight=wt)
     a = a + uobs * g_loc_w[None].astype(a.dtype)
-    a = assemble.add_ridge(a, reg_rows)
     rhs = assemble.row_sums(emb, col_weight=wt * resid)
     rhs = rhs + uobs * (x_full @ g_lg_w.T) + reg_rows[:, None] * x_loc
-    return a, rhs, x_loc, emb, mask
+    return a, rhs, x_loc, emb, mask, reg_rows
 
 
 def write_block(table: jax.Array, bucket: Bucket, s: int, e: int,

@@ -41,10 +41,14 @@ class ERMMF(SaferFamilyMixin, Recommender):
         return self.cfg.l2_reg * (
             stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
 
-    def _step_u(self, ue, item_emb, gramian, buckets, dual, pre_list=None):
+    def _step_u(self, ue, item_emb, gramian, buckets, dual, pre_list=None,
+                q_prev=None):
+        """Returns (new table, new eigenbasis or None)."""
         cfg = self.cfg
         reg = self._user_reg()
-        eig = woodbury.maybe_eigh(gramian, cfg.dim, use_cg=cfg.use_cg)
+        eig = woodbury.maybe_eigh(gramian, cfg.dim, use_cg=cfg.use_cg,
+                                  q_prev=q_prev,
+                                  refresh_tol=cfg.eig_refresh_tol)
 
         def params_fn(b, pre=None):
             w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
@@ -52,13 +56,14 @@ class ERMMF(SaferFamilyMixin, Recommender):
                 item_emb, b, jnp.full((b.n_rows,), reg, jnp.float32),
                 cfg.uobs_weight, w, dtype=self.asm_dtype, pre=pre)
 
-        return common.solve_sweep(ue, buckets, params_fn, gramian,
-                                  eig=eig, use_cg=cfg.use_cg,
-                                  cg_tol=cfg.cg_error_tolerance,
-                                  cg_iters=cfg.cg_max_iterations,
-                                  pre_list=pre_list)
+        out = common.solve_sweep(ue, buckets, params_fn, gramian,
+                                 eig=eig, use_cg=cfg.use_cg,
+                                 cg_tol=cfg.cg_error_tolerance,
+                                 cg_iters=cfg.cg_max_iterations,
+                                 pre_list=pre_list)
+        return out, (eig[0] if eig is not None else None)
 
-    def _step_v(self, v, user_emb, dd: DeviceData, dual):
+    def _step_v(self, v, user_emb, dd: DeviceData, dual, q_prev=None):
         cfg = self.cfg
         # Weighted Gramian U^T diag(z) U over *all* rows incl. id gaps
         # (erm_mf.h:462-467 uses the full table).
@@ -67,7 +72,9 @@ class ERMMF(SaferFamilyMixin, Recommender):
                               dual / jnp.maximum(dd.user_hist_size, 1.0),
                               0.0)
 
-        eig = woodbury.maybe_eigh(w_gram, cfg.dim, use_cg=cfg.use_cg)
+        eig = woodbury.maybe_eigh(w_gram, cfg.dim, use_cg=cfg.use_cg,
+                                  q_prev=q_prev,
+                                  refresh_tol=cfg.eig_refresh_tol)
 
         def params_fn(b):
             reg = self._item_reg(dd.item_reg, b.row_ids)
@@ -75,10 +82,11 @@ class ERMMF(SaferFamilyMixin, Recommender):
                 user_emb, b, reg, cfg.uobs_weight, norm_dual,
                 dtype=self.asm_dtype)
 
-        return common.solve_sweep(v, dd.by_item, params_fn, w_gram,
-                                  eig=eig, use_cg=cfg.use_cg,
-                                  cg_tol=cfg.cg_error_tolerance,
-                                  cg_iters=cfg.cg_max_iterations)
+        out = common.solve_sweep(v, dd.by_item, params_fn, w_gram,
+                                 eig=eig, use_cg=cfg.use_cg,
+                                 cg_tol=cfg.cg_error_tolerance,
+                                 cg_iters=cfg.cg_max_iterations)
+        return out, (eig[0] if eig is not None else None)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         # The end-of-epoch ComputeUserLoss (erm_mf.h:275-276; stats-only —
@@ -89,13 +97,19 @@ class ERMMF(SaferFamilyMixin, Recommender):
             state.item_emb, dd.by_user, state.user_emb,
             state.item_gramian, dd.num_users, self.cfg.uobs_weight,
             halve=True, dtype=self.asm_dtype)
-        u = self._step_u(state.user_emb, state.item_emb,
-                         state.item_gramian, dd.by_user,
-                         state.dual_weight, pre_list=pre)
-        v = self._step_v(state.item_emb, u, dd, state.dual_weight)
+        u, qn_u = self._step_u(state.user_emb, state.item_emb,
+                               state.item_gramian, dd.by_user,
+                               state.dual_weight, pre_list=pre,
+                               q_prev=state.eig_qu)
+        v, qn_v = self._step_v(state.item_emb, u, dd, state.dual_weight,
+                               q_prev=state.eig_qv)
         gram = v.T @ v
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
-                             user_loss=loss, steps=state.steps + 1)
+                             user_loss=loss, steps=state.steps + 1,
+                             eig_qu=qn_u if qn_u is not None
+                             else state.eig_qu,
+                             eig_qv=qn_v if qn_v is not None
+                             else state.eig_qv)
 
     def initialize(self, dd: DeviceData) -> None:
         """Pre-compute losses (reference erm_mf.h:573-587; history sizes
@@ -112,4 +126,4 @@ class ERMMF(SaferFamilyMixin, Recommender):
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         ones = jnp.ones((fold.n_pad,), jnp.float32)
         return self._step_u(ue, state.item_emb, state.item_gramian,
-                            fold.by_user, ones)
+                            fold.by_user, ones, q_prev=state.eig_qu)[0]

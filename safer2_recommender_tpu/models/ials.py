@@ -35,11 +35,14 @@ class IALS(Recommender):
         return ur, ir
 
     def _sweep(self, table_self, table_other, buckets, num_choices,
-               gram=None, pre_list=None):
+               gram=None, pre_list=None, q_prev=None):
+        """Returns (new table, new eigenbasis or None)."""
         cfg = self.cfg
         if gram is None:
             gram = (table_other.T @ table_other).astype(jnp.float32)
-        eig = woodbury.maybe_eigh(gram, cfg.dim, use_cg=cfg.use_cg)
+        eig = woodbury.maybe_eigh(gram, cfg.dim, use_cg=cfg.use_cg,
+                                  q_prev=q_prev,
+                                  refresh_tol=cfg.eig_refresh_tol)
 
         def params_fn(b, pre=None):
             reg = common.ials_reg(b.length, num_choices, cfg.l2_reg,
@@ -48,11 +51,12 @@ class IALS(Recommender):
                                       cfg.uobs_weight,
                                       dtype=self.asm_dtype, pre=pre)
 
-        return common.solve_sweep(table_self, buckets, params_fn, gram,
-                                  eig=eig, use_cg=cfg.use_cg,
-                                  cg_tol=cfg.cg_error_tolerance,
-                                  cg_iters=cfg.cg_max_iterations,
-                                  pre_list=pre_list)
+        out = common.solve_sweep(table_self, buckets, params_fn, gram,
+                                 eig=eig, use_cg=cfg.use_cg,
+                                 cg_tol=cfg.cg_error_tolerance,
+                                 cg_iters=cfg.cg_max_iterations,
+                                 pre_list=pre_list)
+        return out, (eig[0] if eig is not None else None)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         # The reference's end-of-epoch ComputeUserLoss (ials.h:205-206;
@@ -64,17 +68,22 @@ class IALS(Recommender):
             state.item_emb, dd.by_user, state.user_emb,
             state.item_gramian, dd.num_users, self.cfg.uobs_weight,
             halve=False, dtype=self.asm_dtype)
-        u = self._sweep(state.user_emb, state.item_emb, dd.by_user,
-                        dd.num_items, gram=state.item_gramian,
-                        pre_list=pre)
-        v = self._sweep(state.item_emb, u, dd.by_item, dd.num_users)
+        u, qn_u = self._sweep(state.user_emb, state.item_emb, dd.by_user,
+                              dd.num_items, gram=state.item_gramian,
+                              pre_list=pre, q_prev=state.eig_qu)
+        v, qn_v = self._sweep(state.item_emb, u, dd.by_item,
+                              dd.num_users, q_prev=state.eig_qv)
         gram = v.T @ v
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
-                             user_loss=loss, steps=state.steps + 1)
+                             user_loss=loss, steps=state.steps + 1,
+                             eig_qu=qn_u if qn_u is not None
+                             else state.eig_qu,
+                             eig_qv=qn_v if qn_v is not None
+                             else state.eig_qv)
 
     def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
         """One exact re-projection of the held-out users
         (reference ials.h:169-174)."""
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         return self._sweep(ue, state.item_emb, fold.by_user,
-                           self.num_items)
+                           self.num_items, q_prev=state.eig_qu)[0]

@@ -51,10 +51,14 @@ class SAFER2(SaferFamilyMixin, Recommender):
         return self.cfg.l2_reg * (
             stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
 
-    def _step_u(self, ue, item_emb, gramian, buckets, dual, pre_list=None):
+    def _step_u(self, ue, item_emb, gramian, buckets, dual, pre_list=None,
+                q_prev=None):
+        """Returns (new table, new eigenbasis or None)."""
         cfg = self.cfg
         reg = self._user_reg()
-        eig = woodbury.maybe_eigh(gramian, cfg.dim, use_cg=cfg.use_cg)
+        eig = woodbury.maybe_eigh(gramian, cfg.dim, use_cg=cfg.use_cg,
+                                  q_prev=q_prev,
+                                  refresh_tol=cfg.eig_refresh_tol)
 
         def params_fn(b, pre=None):
             w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
@@ -62,13 +66,14 @@ class SAFER2(SaferFamilyMixin, Recommender):
                 item_emb, b, jnp.full((b.n_rows,), reg, jnp.float32),
                 cfg.uobs_weight, w, dtype=self.asm_dtype, pre=pre)
 
-        return common.solve_sweep(ue, buckets, params_fn, gramian,
-                                  eig=eig, use_cg=cfg.use_cg,
-                                  cg_tol=cfg.cg_error_tolerance,
-                                  cg_iters=cfg.cg_max_iterations,
-                                  pre_list=pre_list)
+        out = common.solve_sweep(ue, buckets, params_fn, gramian,
+                                 eig=eig, use_cg=cfg.use_cg,
+                                 cg_tol=cfg.cg_error_tolerance,
+                                 cg_iters=cfg.cg_max_iterations,
+                                 pre_list=pre_list)
+        return out, (eig[0] if eig is not None else None)
 
-    def _step_v(self, v, user_emb, dd: DeviceData, dual):
+    def _step_v(self, v, user_emb, dd: DeviceData, dual, q_prev=None):
         cfg = self.cfg
         # Dual-weighted Gramian over the full user table (safer2.h:504-509);
         # recomputed every pd iteration — it cannot be cached like V^T V.
@@ -77,7 +82,9 @@ class SAFER2(SaferFamilyMixin, Recommender):
                               dual / jnp.maximum(dd.user_hist_size, 1.0),
                               0.0)
 
-        eig = woodbury.maybe_eigh(w_gram, cfg.dim, use_cg=cfg.use_cg)
+        eig = woodbury.maybe_eigh(w_gram, cfg.dim, use_cg=cfg.use_cg,
+                                  q_prev=q_prev,
+                                  refresh_tol=cfg.eig_refresh_tol)
 
         def params_fn(b):
             reg = self._item_reg(dd.item_reg, b.row_ids)
@@ -85,10 +92,11 @@ class SAFER2(SaferFamilyMixin, Recommender):
                 user_emb, b, reg, cfg.uobs_weight, norm_dual,
                 dtype=self.asm_dtype)
 
-        return common.solve_sweep(v, dd.by_item, params_fn, w_gram,
-                                  eig=eig, use_cg=cfg.use_cg,
-                                  cg_tol=cfg.cg_error_tolerance,
-                                  cg_iters=cfg.cg_max_iterations)
+        out = common.solve_sweep(v, dd.by_item, params_fn, w_gram,
+                                 eig=eig, use_cg=cfg.use_cg,
+                                 cg_tol=cfg.cg_error_tolerance,
+                                 cg_iters=cfg.cg_max_iterations)
+        return out, (eig[0] if eig is not None else None)
 
     def _zstep(self, state: MFState, present: jax.Array) -> jax.Array:
         """Update duals for users with history only (the reference's
@@ -122,6 +130,7 @@ class SAFER2(SaferFamilyMixin, Recommender):
         u, v = state.user_emb, state.item_emb
         gram = state.item_gramian
         dual, xi, key = state.dual_weight, state.xi, state.key
+        eq_u, eq_v = state.eig_qu, state.eig_qv
         for t in range(cfg.pd_iterations):
             loss, pre = common.gather_and_losses(
                 v, dd.by_user, u, gram, dd.num_users, cfg.uobs_weight,
@@ -140,13 +149,17 @@ class SAFER2(SaferFamilyMixin, Recommender):
                 smoothing.dual_weight(loss, xi, cfg.bandwidth,
                                       cfg.use_epanechnikov),
                 dual)
-            u = self._step_u(u, v, gram, dd.by_user, dual, pre_list=pre)
-            v = self._step_v(v, u, dd, dual)
+            u, qn = self._step_u(u, v, gram, dd.by_user, dual,
+                                 pre_list=pre, q_prev=eq_u)
+            eq_u = qn if qn is not None else eq_u
+            v, qn = self._step_v(v, u, dd, dual, q_prev=eq_v)
+            eq_v = qn if qn is not None else eq_v
             gram = v.T @ v
             loss_out = loss
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
                              user_loss=loss_out, dual_weight=dual, xi=xi,
-                             key=key, steps=state.steps + 1)
+                             key=key, steps=state.steps + 1,
+                             eig_qu=eq_u, eig_qv=eq_v)
 
     def initialize(self, dd: DeviceData) -> None:
         """Reference safer2.h:819-838. The loss/xi warm start now runs at
@@ -167,4 +180,4 @@ class SAFER2(SaferFamilyMixin, Recommender):
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         ones = jnp.ones((fold.n_pad,), jnp.float32)
         return self._step_u(ue, state.item_emb, state.item_gramian,
-                            fold.by_user, ones)
+                            fold.by_user, ones, q_prev=state.eig_qu)[0]

@@ -224,13 +224,18 @@ def rowwise_dot(emb: jax.Array, vec: jax.Array) -> jax.Array:
 
 
 def add_ridge(a: jax.Array, reg: jax.Array) -> jax.Array:
-    """A += reg * I for a batch: a [N, d, d], reg [N] (or scalar)."""
+    """A += reg * I for a batch: a [N, d, d], reg [N] (or scalar).
+
+    Implemented as a diagonal scatter-add, not ``a + reg * eye``: the
+    broadcast form is a full memory-bound pass over the [N, d, d] slab
+    (several ms/epoch at dim 512) while the diagonal touches N*d
+    elements."""
     d = a.shape[-1]
-    eye = jnp.eye(d, dtype=a.dtype)
     reg = jnp.asarray(reg, dtype=a.dtype)
     if reg.ndim == 0:
-        return a + reg * eye
-    return a + reg[:, None, None] * eye
+        reg = jnp.broadcast_to(reg, (a.shape[0],))
+    idx = jnp.arange(d)
+    return a.at[:, idx, idx].add(reg[:, None])
 
 
 def scatter_rows(table: jax.Array, row_ids: jax.Array,

@@ -64,8 +64,8 @@ def _next_pow2(x: int) -> int:
     return p
 
 
-def _leaf_kernel(blk_ref, inv_ref, *, r: int):
-    """inv(chol(blk)) for a lane-major [r, r, NL] tile of SPD blocks.
+def _leaf_kernel(blk_ref, ridge_ref, inv_ref, *, r: int):
+    """inv(chol(blk + diag(ridge))) for a lane-major [r, r, NL] tile.
 
     Layout is (row, col, batch): the batch rides the 128-wide lane
     dimension, so the per-column masked updates waste nothing to tile
@@ -82,9 +82,15 @@ def _leaf_kernel(blk_ref, inv_ref, *, r: int):
 
     Measured at [70k, 32, 32]: fori+masked 25.4 ms -> unrolled 15.5 ms
     -> static-slice fused 7.2 ms.
+
+    ``ridge`` ([1, NL]) is the per-system diagonal shift (the normal
+    equations' reg * I), applied lazily when each pivot column is read —
+    assembly-side it would cost a full memory-bound pass over the
+    [N, d, d] slabs; here it is one fused FMA in VMEM.
     """
     row_i = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)      # [r, 1]
 
+    ridge = ridge_ref[:]                                        # [1, NL]
     blk = blk_ref[:]
     inv = jnp.zeros_like(blk)
     for j in range(r):
@@ -94,7 +100,7 @@ def _leaf_kernel(blk_ref, inv_ref, *, r: int):
         lt = (row_i < j).astype(jnp.float32)
         keep = 1.0 - oh
         # --- Cholesky column j (static slice; rows >= j kept) ---
-        colv = blk[:, j, :]                                     # [r, NL]
+        colv = blk[:, j, :] + oh * ridge                        # [r, NL]
         piv = colv[j:j + 1, :]                                  # [1, NL]
         inv_piv = jax.lax.rsqrt(jnp.maximum(piv, 1e-30))
         col = colv * inv_piv * below
@@ -109,14 +115,17 @@ def _leaf_kernel(blk_ref, inv_ref, *, r: int):
     inv_ref[:] = inv
 
 
-def _leaf_lane(at: jax.Array) -> jax.Array:
-    """Leaf on a lane-major [r, r, N] batch (N a multiple of _LEAF_LANES)."""
+def _leaf_lane(at: jax.Array, ridge: jax.Array) -> jax.Array:
+    """Leaf on a lane-major [r, r, N] batch (N a multiple of _LEAF_LANES).
+    ``ridge`` is [1, N]."""
     r, _, n = at.shape
     nl = _LEAF_LANES
     return pl.pallas_call(
         functools.partial(_leaf_kernel, r=r),
         grid=(n // nl,),
         in_specs=[pl.BlockSpec((r, r, nl), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, nl), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((r, r, nl), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
@@ -128,7 +137,7 @@ def _leaf_lane(at: jax.Array) -> jax.Array:
             bytes_accessed=int(2 * n * r * r * 4),
             transcendentals=int(n * r),
         ),
-    )(at)
+    )(at, ridge)
 
 
 def _lane_matmul_kernel(a_ref, b_ref, o_ref, *, h: int, trans_b: bool):
@@ -181,17 +190,18 @@ def _lane_matmul(a: jax.Array, b: jax.Array, *,
 _LANE_MAX = 64
 
 
-def _rec_lane(at: jax.Array) -> jax.Array:
-    """Lane-major recursion: at [r, r, N] -> inv(chol(at)) [r, r, N]."""
+def _rec_lane(at: jax.Array, ridge: jax.Array) -> jax.Array:
+    """Lane-major recursion: at [r, r, N] -> inv(chol(at + diag(ridge)))
+    [r, r, N]; ridge [1, N] (same shift on every diagonal element)."""
     r = at.shape[0]
     if r <= _LEAF:
-        return _leaf_lane(at)
+        return _leaf_lane(at, ridge)
     h = r // 2
-    inv11 = _rec_lane(at[:h, :h, :])
+    inv11 = _rec_lane(at[:h, :h, :], ridge)
     # L21 = A21 @ inv(L11)^T ; S22 = A22 - L21 @ L21^T
     l21 = _lane_matmul(at[h:, :h, :], inv11, trans_b=True)
     s22 = at[h:, h:, :] - _lane_matmul(l21, l21, trans_b=True)
-    inv22 = _rec_lane(s22)
+    inv22 = _rec_lane(s22, ridge)
     # inv21 = -inv(L22) @ (L21 @ inv(L11))
     inv21 = -_lane_matmul(inv22, _lane_matmul(l21, inv11))
     zero = jnp.zeros_like(l21)
@@ -201,16 +211,18 @@ def _rec_lane(at: jax.Array) -> jax.Array:
     ], axis=0)
 
 
-def _chol_inverse_leaf_impl(a: jax.Array) -> jax.Array:
-    """Lane-major subtree: a [N, r, r] -> inv(chol(a)), r <= _LANE_MAX."""
+def _chol_inverse_leaf_impl(a: jax.Array, ridge: jax.Array) -> jax.Array:
+    """Lane-major subtree: a [N, r, r], ridge [N] ->
+    inv(chol(a + diag(ridge))), r <= _LANE_MAX."""
     n, r, _ = a.shape
     nl = _LEAF_LANES
     n_pad = ((n + nl - 1) // nl) * nl
     if n_pad != n:
         pad = jnp.broadcast_to(jnp.eye(r, dtype=a.dtype), (n_pad - n, r, r))
         a = jnp.concatenate([a, pad], axis=0)
+        ridge = jnp.pad(ridge, (0, n_pad - n))
     at = jnp.transpose(a, (1, 2, 0))                            # [r, r, N]
-    return jnp.transpose(_rec_lane(at), (2, 0, 1))[:n]
+    return jnp.transpose(_rec_lane(at, ridge[None, :]), (2, 0, 1))[:n]
 
 
 # A pallas_call is opaque to the SPMD partitioner, so the lane subtree is
@@ -221,26 +233,28 @@ def _chol_inverse_leaf_impl(a: jax.Array) -> jax.Array:
 _chol_inverse_leaf = custom_partitioning(_chol_inverse_leaf_impl)
 
 
-def _leaf_batch_sharding(mesh, arg_shapes):
+def _leaf_batch_axis(arg_shapes):
     sh = arg_shapes[0].sharding
     spec = sh.spec if sh is not None and sh.spec is not None else ()
-    batch = spec[0] if len(spec) else None
-    return NamedSharding(mesh, PartitionSpec(batch, None, None))
+    return spec[0] if len(spec) else None
 
 
 def _leaf_partition(mesh, arg_shapes, result_shape):
-    sh = _leaf_batch_sharding(mesh, arg_shapes)
-    return mesh, _chol_inverse_leaf_impl, sh, (sh,)
+    batch = _leaf_batch_axis(arg_shapes)
+    sh = NamedSharding(mesh, PartitionSpec(batch, None, None))
+    sh_r = NamedSharding(mesh, PartitionSpec(batch))
+    return mesh, _chol_inverse_leaf_impl, sh, (sh, sh_r)
 
 
 def _leaf_infer_sharding(mesh, arg_shapes, result_shape):
-    return _leaf_batch_sharding(mesh, arg_shapes)
+    batch = _leaf_batch_axis(arg_shapes)
+    return NamedSharding(mesh, PartitionSpec(batch, None, None))
 
 
 _chol_inverse_leaf.def_partition(
     partition=_leaf_partition,
     infer_sharding_from_operands=_leaf_infer_sharding,
-    sharding_rule="n d e -> n d e")
+    sharding_rule="n d e, n -> n d e")
 
 
 def _use_leaf_kernel() -> bool:
@@ -249,17 +263,21 @@ def _use_leaf_kernel() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _chol_inverse_rec(a: jax.Array) -> jax.Array:
-    """inv(chol(a)) (lower-triangular) for SPD a [N, R, R], R a power of 2."""
+def _chol_inverse_rec(a: jax.Array, ridge: jax.Array) -> jax.Array:
+    """inv(chol(a + diag(ridge))) (lower-triangular) for SPD a [N, R, R],
+    R a power of 2, ridge [N]. The ridge is applied where each diagonal
+    element is first consumed (leaf kernels / closed forms) — never as a
+    slab-wide add."""
     n, r, _ = a.shape
     if r <= _LANE_MAX and r >= 8 and _use_leaf_kernel():
-        return _chol_inverse_leaf(a)
+        return _chol_inverse_leaf(a, ridge)
     if r == 1:
-        return jax.lax.rsqrt(jnp.maximum(a, 1e-30))
+        return jax.lax.rsqrt(jnp.maximum(a + ridge[:, None, None], 1e-30))
     if r == 2:
-        a11 = a[:, 0:1, 0:1]
+        rg = ridge[:, None, None]
+        a11 = a[:, 0:1, 0:1] + rg
         a21 = a[:, 1:2, 0:1]
-        a22 = a[:, 1:2, 1:2]
+        a22 = a[:, 1:2, 1:2] + rg
         i11 = jax.lax.rsqrt(jnp.maximum(a11, 1e-30))
         l21 = a21 * i11
         i22 = jax.lax.rsqrt(jnp.maximum(a22 - l21 * l21, 1e-30))
@@ -270,12 +288,12 @@ def _chol_inverse_rec(a: jax.Array) -> jax.Array:
             jnp.concatenate([i21, i22], axis=2),
         ], axis=1)
     h = r // 2
-    inv11 = _chol_inverse_rec(a[:, :h, :h])
+    inv11 = _chol_inverse_rec(a[:, :h, :h], ridge)
     # L21 = A21 @ inv(L11)^T
     l21 = _bdot(a[:, h:, :h], inv11, (((2,), (2,))))
     # Schur complement S22 = A22 - L21 @ L21^T
     s22 = a[:, h:, h:] - _bdot(l21, l21, (((2,), (2,))))
-    inv22 = _chol_inverse_rec(s22)
+    inv22 = _chol_inverse_rec(s22, ridge)
     # inv21 = -inv(L22) @ (L21 @ inv(L11))
     t = _bdot(l21, inv11, (((2,), (1,))))
     inv21 = -_bdot(inv22, t, (((2,), (1,))))
@@ -286,36 +304,43 @@ def _chol_inverse_rec(a: jax.Array) -> jax.Array:
     ], axis=1)
 
 
-@jax.jit
-def chol_inverse(a: jax.Array) -> jax.Array:
-    """inv(chol(a)) for batched SPD a [N, d, d] (lower-triangular inverse).
+@functools.partial(jax.jit, static_argnames=())
+def chol_inverse(a: jax.Array, ridge: jax.Array = None) -> jax.Array:
+    """inv(chol(a + diag(ridge))) for batched SPD a [N, d, d]
+    (lower-triangular inverse); ridge [N] or None.
 
     d is padded internally to the next power of two with identity blocks.
     """
     n, d, _ = a.shape
+    if ridge is None:
+        ridge = jnp.zeros((n,), a.dtype)
     d_pad = _next_pow2(d)
     if d_pad != d:
         pad_eye = jnp.zeros((d_pad, d_pad), a.dtype).at[
             jnp.arange(d, d_pad), jnp.arange(d, d_pad)].set(1.0)
         a = jnp.pad(a, ((0, 0), (0, d_pad - d), (0, d_pad - d)))
         a = a + pad_eye[None]
-    inv = _chol_inverse_rec(a)
+    inv = _chol_inverse_rec(a, ridge)
     return inv[:, :d, :d]
 
 
 @jax.jit
-def spd_solve(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve a[n] x = b[n] for batched SPD a [N, d, d], b [N, d] -> [N, d].
+def spd_solve(a: jax.Array, b: jax.Array,
+              ridge: jax.Array = None) -> jax.Array:
+    """Solve (a[n] + ridge[n] I) x = b[n] for batched SPD a [N, d, d],
+    b [N, d] -> [N, d]; ridge [N] or None.
 
-    x = inv(L)^T @ (inv(L) @ b). All-zero systems (padded rows) are bumped
-    to the identity so the factorization stays finite; their solutions are
-    then dropped by the callers' out-of-bounds scatters.
+    x = inv(L)^T @ (inv(L) @ b). Degenerate all-zero systems are bumped
+    to the identity so the factorization stays finite; the zero test uses
+    the RHS (for SPD a, b == 0 gives x == 0 with or without the bump, and
+    a == 0 only arises on padded rows whose b is also 0). Both the bump
+    and the callers' reg * I ride the solver's lazy diagonal shift (see
+    ``_leaf_kernel``) — applied assembly-side each was a full
+    memory-bound pass over the [N, d, d] slabs.
     """
-    d = b.shape[1]
-    diag = jnp.einsum("ndd->nd", a)
-    bump = jnp.where(jnp.all(diag == 0.0, axis=-1), 1.0, 0.0)
-    a = a + bump[:, None, None] * jnp.eye(d, dtype=a.dtype)
-    inv = chol_inverse(a)
+    bump = jnp.where(jnp.all(b == 0.0, axis=-1), 1.0, 0.0)
+    ridge = bump if ridge is None else bump + ridge
+    inv = chol_inverse(a, ridge)
     y = _bdot(inv, b[:, :, None], (((2,), (1,))))          # inv @ b
     x = _bdot(inv, y, (((1,), (1,))))                      # inv^T @ y
     return x[:, :, 0]

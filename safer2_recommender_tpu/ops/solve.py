@@ -37,16 +37,19 @@ def xla_cholesky_solve(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def cg_solve(a: jax.Array, b: jax.Array, *, tol: float = 1e-10,
-             max_iters: int = 100) -> jax.Array:
+             max_iters: int = 100, ridge=None) -> jax.Array:
     """Batched conjugate gradient (reference --use_cg path, ials.h:133-138).
 
     Runs a fixed-trip-count loop with per-system convergence masking
     (compiler-friendly control flow instead of data-dependent early exit).
-    Eigen's tolerance is relative: ||r|| <= tol * ||b||.
+    Eigen's tolerance is relative: ||r|| <= tol * ||b||. ``ridge`` [N]
+    adds reg * I inside the matvec (never materialized).
     """
     def body(state, _):
         x, r, p, rs = state
         ap = jnp.einsum("nde,ne->nd", a, p)
+        if ridge is not None:
+            ap = ap + ridge[:, None] * p
         denom = jnp.sum(p * ap, axis=-1)
         alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-30), 0.0)
         x = x + alpha[:, None] * p
@@ -65,7 +68,10 @@ def cg_solve(a: jax.Array, b: jax.Array, *, tol: float = 1e-10,
 
 
 def solve(a: jax.Array, b: jax.Array, *, use_cg: bool = False,
-          tol: float = 1e-10, max_iters: int = 100) -> jax.Array:
+          tol: float = 1e-10, max_iters: int = 100,
+          ridge=None) -> jax.Array:
+    """Solve (a + diag(ridge)) x = b; the ridge (the normal equations'
+    reg * I) is applied inside the solver, never as a slab-wide add."""
     if use_cg:
-        return cg_solve(a, b, tol=tol, max_iters=max_iters)
-    return cholesky_solve(a, b)
+        return cg_solve(a, b, tol=tol, max_iters=max_iters, ridge=ridge)
+    return cholesky_solve(a, b, ridge)

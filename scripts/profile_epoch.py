@@ -49,9 +49,9 @@ if hasattr(model, "_step_u"):
     phases += [
         ("step_u", jax.jit(lambda s: model._step_u(
             s.user_emb, s.item_emb, s.item_gramian, dd.by_user,
-            s.dual_weight).sum())),
+            s.dual_weight)[0].sum())),
         ("step_v", jax.jit(lambda s: model._step_v(
-            s.item_emb, s.user_emb, dd, s.dual_weight).sum())),
+            s.item_emb, s.user_emb, dd, s.dual_weight)[0].sum())),
     ]
 phases += [
     ("losses", jax.jit(lambda s: common.user_losses(

@@ -251,7 +251,9 @@ def test_woodbury_matches_direct(uniform_wt):
     rng = np.random.default_rng(0)
     p, gram = _woodbury_case(rng, uniform_wt=uniform_wt)
     a, rhs = common.assemble_from_params(p, gram)
-    want = np.linalg.solve(np.asarray(a), np.asarray(rhs)[..., None])[..., 0]
+    # assemble_from_params defers the ridge c0*I to the solver
+    a = np.asarray(a) + np.asarray(p.c0)[:, None, None] * np.eye(a.shape[-1])
+    want = np.linalg.solve(a, np.asarray(rhs)[..., None])[..., 0]
 
     eig = woodbury.maybe_eigh(gram, 128, use_cg=False)
     assert eig is not None
@@ -274,6 +276,7 @@ def test_grad_from_params_matches_dense():
     rng = np.random.default_rng(1)
     p, gram = _woodbury_case(rng, d=32)
     a, rhs = common.assemble_from_params(p, gram)
+    a = np.asarray(a) + np.asarray(p.c0)[:, None, None] * np.eye(32)
     x = jnp.asarray(rng.normal(size=(12, 32)).astype(np.float32))
     want = np.einsum("nde,ne->nd", np.asarray(a), np.asarray(x)) - \
         np.asarray(rhs)
@@ -311,3 +314,42 @@ def test_solve_sweep_woodbury_matches_direct_path():
     x_direct = np.asarray(common.solve_sweep(z, dd.by_user, params_fn, gram,
                                              eig=None))
     np.testing.assert_allclose(x_wood, x_direct, rtol=5e-3, atol=5e-4)
+
+
+def test_refresh_eigh_warm_and_cold_paths():
+    # Warm-started spectral refresh (ops/woodbury.py::refresh_eigh):
+    # after an ALS-sized Gramian drift, the warm (block-diagonal) path
+    # must reconstruct the new Gramian about as well as f32 eigh itself,
+    # with an orthogonal basis; a large jump must take the cold path.
+    from safer2_recommender_tpu.ops import woodbury
+
+    rng = np.random.default_rng(3)
+    d = 256
+    v = rng.normal(size=(2000, d)).astype(np.float32) / np.sqrt(d)
+    v *= (1.0 / np.sqrt(np.arange(1, d + 1)))[None, :].astype(np.float32)
+    g = jnp.asarray(v.T @ v)
+    _, q = jnp.linalg.eigh(g)
+
+    def rel_err(q_, lam_, g_):
+        recon = np.asarray(q_) @ np.diag(np.asarray(lam_)) @ np.asarray(q_).T
+        return np.linalg.norm(recon - g_) / np.linalg.norm(g_)
+
+    qk = q
+    for _ in range(4):
+        v = v + 0.02 * rng.normal(size=v.shape).astype(np.float32) * np.abs(v)
+        gk = v.T @ v
+        # force the warm branch (tol=1: coupling check always passes)
+        qk, lamk = woodbury.refresh_eigh(jnp.asarray(gk), qk, 1.0)
+        assert np.linalg.norm(
+            np.asarray(qk.T @ qk) - np.eye(d)) < 1e-3
+        assert rel_err(qk, lamk, gk) < 5e-3
+
+    # drifted-coupling detection: a completely different Gramian must
+    # fall back to the full eigh under the default tolerance
+    v2 = rng.normal(size=v.shape).astype(np.float32)
+    g2 = v2.T @ v2
+    q2, lam2 = woodbury.refresh_eigh(jnp.asarray(g2), qk, 2e-3)
+    assert rel_err(q2, lam2, g2) < 1e-3
+    # cold path sorts eigenvalues ascending (warm would not, and the old
+    # basis cannot block-diagonalize an unrelated Gramian to 2e-3)
+    assert np.all(np.diff(np.asarray(lam2)) >= -1e-4)
