@@ -75,7 +75,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=0,
                    help="shard over this many devices (0 = single device)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--eig_refresh_tol", type=float, default=3e-2,
+    p.add_argument("--eig_refresh_tol", type=float, default=8e-2,
                    help="warm-started Woodbury eigh refresh tolerance "
                         "(0 = always full eigh)")
     p.add_argument("--checkpoint_dir", default=None)

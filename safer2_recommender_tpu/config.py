@@ -78,11 +78,12 @@ class Config:
     # the previous sweep's eigenbasis and re-diagonalize only 128-wide
     # blocks, falling back to a full eigh when the dropped cross-block
     # coupling exceeds this relative tolerance. Per-epoch Gramian drift
-    # on ML-1M dim=512 is ~2e-2; 3e-2 keeps the warm path active and is
-    # in the same noise class as the bf16 normal-equation assembly
-    # (measured NDCG@20 0.3287 vs 0.3291 with exact eigh, 10-epoch
-    # dim-512 ML-1M head-to-head). 0 disables (always full eigh).
-    eig_refresh_tol: float = 3e-2
+    # on ML-1M dim=512 is 2-7.5e-2 early in training; 8e-2 keeps the
+    # warm path active from epoch 1 and stays in the noise class of the
+    # bf16 normal-equation assembly (measured NDCG@20 0.3295 at 8e-2 /
+    # 0.3287 at 3e-2 / 0.3291 with exact eigh, 10-epoch dim-512 ML-1M
+    # head-to-head). 0 disables (always full eigh).
+    eig_refresh_tol: float = 8e-2
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

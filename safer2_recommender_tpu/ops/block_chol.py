@@ -324,23 +324,127 @@ def chol_inverse(a: jax.Array, ridge: jax.Array = None) -> jax.Array:
     return inv[:, :d, :d]
 
 
+# --------------------------------------------------------------------------
+# Factored solve: Cholesky FACTOR + block substitution (d^3/3 FLOPs)
+# --------------------------------------------------------------------------
+#
+# The explicit inverse costs ~3x the FLOPs of a factorization; with a
+# single right-hand side per system (every solve in this framework) the
+# substitution passes are memory-bound mul+reduce block matvecs — the
+# same traffic as the two matvecs against the explicit inverse. The
+# "solve factor" S stores, in one [N, d, d] buffer, the strictly-lower
+# L21 blocks of the blocked Cholesky factor and — on the <=_LANE_MAX
+# diagonal blocks — inv(chol(block)) from the lane-major Pallas subtree,
+# so substitution never meets a triangular solve (XLA's lowering of
+# which is the per-column-loop disaster this module exists to avoid).
+#
+# STATUS: numerically verified on CPU at every size (tests/test_ops.py)
+# but opt-in (FRT_FACTORED_SOLVE=1): on the tunneled v5e runtime the
+# factored program at d >= 128 dispatched fine and then never completed
+# (device-side hang; killing the client left the chip wedged for ~30
+# min). Until that is root-caused on hardware with device logs, the
+# default path stays the proven explicit inversion.
+
+
+def _use_factored() -> bool:
+    return os.environ.get("FRT_FACTORED_SOLVE") == "1"
+
+
+def _leaf_factor(a: jax.Array, ridge: jax.Array) -> jax.Array:
+    """Diagonal-block terminal: inv(chol(a + diag(ridge))), r <= _LANE_MAX."""
+    r = a.shape[1]
+    if r <= _LANE_MAX and r >= 8 and _use_leaf_kernel():
+        return _chol_inverse_leaf(a, ridge)
+    return _chol_inverse_rec(a, ridge)
+
+
+def _trsm_right(s: jax.Array, x: jax.Array) -> jax.Array:
+    """x @ L^-T for the solve factor ``s`` [N, r, r]; x [N, m, r]."""
+    r = s.shape[1]
+    if r <= _LANE_MAX:
+        return _bdot(x, s, (((2,), (2,))))        # x @ inv(L)^T
+    h = r // 2
+    y1 = _trsm_right(s[:, :h, :h], x[:, :, :h])
+    rest = x[:, :, h:] - _bdot(y1, s[:, h:, :h], (((2,), (2,))))
+    y2 = _trsm_right(s[:, h:, h:], rest)
+    return jnp.concatenate([y1, y2], axis=2)
+
+
+def _factor_rec(a: jax.Array, ridge: jax.Array) -> jax.Array:
+    """Solve factor of a + diag(ridge): L21 blocks below the diagonal,
+    inv(chol(.)) on the <=_LANE_MAX diagonal blocks."""
+    n, r, _ = a.shape
+    if r <= _LANE_MAX:
+        return _leaf_factor(a, ridge)
+    h = r // 2
+    s11 = _factor_rec(a[:, :h, :h], ridge)
+    l21 = _trsm_right(s11, a[:, h:, :h])
+    s22 = _factor_rec(a[:, h:, h:] - _bdot(l21, l21, (((2,), (2,)))),
+                      ridge)
+    zero = jnp.zeros((n, h, h), a.dtype)
+    return jnp.concatenate([
+        jnp.concatenate([s11, zero], axis=2),
+        jnp.concatenate([l21, s22], axis=2),
+    ], axis=1)
+
+
+def _fwd_sub(s: jax.Array, b: jax.Array) -> jax.Array:
+    """y = L^-1 b by block forward substitution; b [N, r]."""
+    r = s.shape[1]
+    if r <= _LANE_MAX:
+        return jnp.sum(s * b[:, None, :], axis=2)            # inv @ b
+    h = r // 2
+    y1 = _fwd_sub(s[:, :h, :h], b[:, :h])
+    t = b[:, h:] - jnp.sum(s[:, h:, :h] * y1[:, None, :], axis=2)
+    y2 = _fwd_sub(s[:, h:, h:], t)
+    return jnp.concatenate([y1, y2], axis=1)
+
+
+def _bwd_sub(s: jax.Array, y: jax.Array) -> jax.Array:
+    """x = L^-T y by block backward substitution; y [N, r]."""
+    r = s.shape[1]
+    if r <= _LANE_MAX:
+        return jnp.sum(s * y[:, :, None], axis=1)            # inv^T @ y
+    h = r // 2
+    x2 = _bwd_sub(s[:, h:, h:], y[:, h:])
+    t = y[:, :h] - jnp.sum(s[:, h:, :h] * x2[:, :, None], axis=1)
+    x1 = _bwd_sub(s[:, :h, :h], t)
+    return jnp.concatenate([x1, x2], axis=1)
+
+
 @jax.jit
 def spd_solve(a: jax.Array, b: jax.Array,
               ridge: jax.Array = None) -> jax.Array:
     """Solve (a[n] + ridge[n] I) x = b[n] for batched SPD a [N, d, d],
     b [N, d] -> [N, d]; ridge [N] or None.
 
-    x = inv(L)^T @ (inv(L) @ b). Degenerate all-zero systems are bumped
-    to the identity so the factorization stays finite; the zero test uses
-    the RHS (for SPD a, b == 0 gives x == 0 with or without the bump, and
-    a == 0 only arises on padded rows whose b is also 0). Both the bump
-    and the callers' reg * I ride the solver's lazy diagonal shift (see
-    ``_leaf_kernel``) — applied assembly-side each was a full
-    memory-bound pass over the [N, d, d] slabs.
+    Default: x = inv(L)^T @ (inv(L) @ b) via the explicit blocked
+    inverse. With FRT_FACTORED_SOLVE=1: blocked Cholesky factorization +
+    forward/backward substitution (see the factored-solve section above;
+    3x fewer FLOPs, opt-in pending a device-side hang root-cause).
+    Degenerate all-zero systems are bumped to the identity so the
+    factorization stays finite; the zero test uses the RHS (for SPD a,
+    b == 0 gives x == 0 with or without the bump, and a == 0 only arises
+    on padded rows whose b is also 0). Both the bump and the callers'
+    reg * I ride the solver's lazy diagonal shift (see ``_leaf_kernel``)
+    — applied assembly-side each was a full memory-bound pass over the
+    [N, d, d] slabs.
     """
+    n, d = b.shape
     bump = jnp.where(jnp.all(b == 0.0, axis=-1), 1.0, 0.0)
     ridge = bump if ridge is None else bump + ridge
-    inv = chol_inverse(a, ridge)
-    y = _bdot(inv, b[:, :, None], (((2,), (1,))))          # inv @ b
-    x = _bdot(inv, y, (((1,), (1,))))                      # inv^T @ y
-    return x[:, :, 0]
+    if not _use_factored():
+        inv = chol_inverse(a, ridge)
+        y = _bdot(inv, b[:, :, None], (((2,), (1,))))      # inv @ b
+        x = _bdot(inv, y, (((1,), (1,))))                  # inv^T @ y
+        return x[:, :, 0]
+    d_pad = _next_pow2(d)
+    if d_pad != d:
+        pad_eye = jnp.zeros((d_pad, d_pad), a.dtype).at[
+            jnp.arange(d, d_pad), jnp.arange(d, d_pad)].set(1.0)
+        a = jnp.pad(a, ((0, 0), (0, d_pad - d), (0, d_pad - d)))
+        a = a + pad_eye[None]
+        b = jnp.pad(b, ((0, 0), (0, d_pad - d)))
+    s = _factor_rec(a, ridge)
+    x = _bwd_sub(s, _fwd_sub(s, b))
+    return x[:, :d]

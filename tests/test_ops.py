@@ -176,7 +176,7 @@ def _random_spd(rng, n, d, ridge=0.05):
     return jnp.asarray(a)
 
 
-@pytest.mark.parametrize("d", [1, 2, 5, 8, 16, 24, 32])
+@pytest.mark.parametrize("d", [1, 2, 5, 8, 16, 24, 32, 96, 128, 256])
 def test_spd_solve_matches_numpy(d):
     from safer2_recommender_tpu.ops import block_chol
 
@@ -353,3 +353,37 @@ def test_refresh_eigh_warm_and_cold_paths():
     # cold path sorts eigenvalues ascending (warm would not, and the old
     # basis cannot block-diagonalize an unrelated Gramian to 2e-3)
     assert np.all(np.diff(np.asarray(lam2)) >= -1e-4)
+
+
+def test_spd_solve_ridge_param_matches_explicit():
+    # the lazy diagonal shift must equal an explicit a + diag(ridge)
+    from safer2_recommender_tpu.ops import block_chol
+
+    rng = np.random.default_rng(7)
+    for d in (16, 128):
+        a = _random_spd(rng, 9, d)
+        b = jnp.asarray(rng.normal(size=(9, d)).astype(np.float32))
+        ridge = jnp.asarray(rng.uniform(0.01, 0.5, 9).astype(np.float32))
+        x = np.asarray(block_chol.spd_solve(a, b, ridge))
+        aa = np.asarray(a) + np.asarray(ridge)[:, None, None] * np.eye(d)
+        want = np.linalg.solve(aa, np.asarray(b)[..., None])[..., 0]
+        np.testing.assert_allclose(x, want, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("d", [16, 96, 128, 256])
+def test_spd_solve_factored_path_matches_default(d, monkeypatch):
+    # the opt-in factored solver (FRT_FACTORED_SOLVE=1) must agree with
+    # the default explicit-inversion path
+    from safer2_recommender_tpu.ops import block_chol
+
+    rng = np.random.default_rng(11)
+    a = _random_spd(rng, 13, d)
+    b = jnp.asarray(rng.normal(size=(13, d)).astype(np.float32))
+    ridge = jnp.asarray(rng.uniform(0.01, 0.3, 13).astype(np.float32))
+    base = np.asarray(block_chol.spd_solve(a, b, ridge))
+    monkeypatch.setenv("FRT_FACTORED_SOLVE", "1")
+    block_chol.spd_solve.clear_cache()
+    fact = np.asarray(block_chol.spd_solve(a, b, ridge))
+    monkeypatch.delenv("FRT_FACTORED_SOLVE")
+    block_chol.spd_solve.clear_cache()
+    np.testing.assert_allclose(fact, base, rtol=2e-3, atol=2e-4)
