@@ -387,3 +387,39 @@ def test_spd_solve_factored_path_matches_default(d, monkeypatch):
     monkeypatch.delenv("FRT_FACTORED_SOLVE")
     block_chol.spd_solve.clear_cache()
     np.testing.assert_allclose(fact, base, rtol=2e-3, atol=2e-4)
+
+
+def test_epoch_eig_refresh_wiring_dim256():
+    # At dim >= 256 the safer/ials epochs thread the warm eigenbasis
+    # through MFState (eig_qu/eig_qv); the unit tests above cover
+    # refresh_eigh itself — this covers the model wiring: bases update,
+    # stay orthogonal, and training stays finite.
+    from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
+
+    rng = np.random.default_rng(21)
+    pairs = np.unique(np.stack([rng.integers(0, 120, 5000),
+                                rng.integers(0, 60, 5000)], 1),
+                      axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    dd = DeviceData.build(ds)
+    d = 256
+    m = get_model("safer2", Config(dim=d, bandwidth=0.15, alpha=0.3,
+                                   seed=9, uobs_weight=0.01, l2_reg=0.01),
+                  ds.num_users, ds.num_items)
+    m.initialize(dd)
+    eye = np.eye(d, dtype=np.float32)
+    assert np.array_equal(np.asarray(m.state.eig_qu), eye)
+    for _ in range(3):
+        m.train_epoch(dd)
+    qu = np.asarray(m.state.eig_qu)
+    qv = np.asarray(m.state.eig_qv)
+    assert not np.array_equal(qu, eye) and not np.array_equal(qv, eye)
+    assert np.linalg.norm(qu.T @ qu - eye) < 1e-3
+    assert np.linalg.norm(qv.T @ qv - eye) < 1e-3
+    assert np.isfinite(np.asarray(m.state.user_loss)).all()
+    # the basis must actually diagonalize the carried Gramian:
+    # reconstruction through (qu, diag) should be close to item_gramian
+    g = np.asarray(m.state.item_gramian)
+    b = qu.T @ g @ qu
+    off = b - np.diag(np.diag(b))
+    assert np.linalg.norm(off) / np.linalg.norm(g) < 0.2
