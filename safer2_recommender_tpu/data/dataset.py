@@ -5,10 +5,14 @@ Reference parity
 The reference ingests a 2-column ``uid,sid`` CSV (header discarded) into
 dual sparse indexes ``by_user[u] = [(item, rating_index)...]`` and
 ``by_item[i] = [(user, rating_index)...]`` where ``rating_index`` is the
-global tuple position (reference include/frecsys/dataset.h:71-99). That
-``rating_index`` is load-bearing: the blockwise models keep a flat
-``prediction`` vector of length ``num_tuples`` indexed by it as a residual
-cache (reference ialspp.h:210-216, safer2pp.h:290-297).
+global tuple position keying the blockwise models' flat per-tuple
+prediction cache (reference include/frecsys/dataset.h:71-99,
+ialspp.h:210-216). That cache — and with it any per-tuple indexing — is
+deliberately absent here: on TPU, per-tuple (element) gathers/scatters
+are ~100x slower per value than row gathers, so the blockwise models
+recompute predictions from the live tables instead
+(models/common.py::block_assemble_unweighted). Both adjacency views
+carry only (row, col, length).
 
 TPU-native design
 -----------------
@@ -16,25 +20,14 @@ Ragged per-row histories (5..10^3+ interactions) are the central layout
 problem: TPU programs need static shapes and MXU-sized tiles. We bucket
 rows by history length into power-of-two padded tiles:
 
-  Bucket(row_ids[N], col_ids[N, L], tuple_idx[N, L], length[N])
+  Bucket(row_ids[N], col_ids[N, L], length[N])
 
 Every per-row computation then becomes a *batched* einsum / Cholesky over
 the bucket, compiled once per (N, L) shape. Padding conventions:
 
   * padded rows:    row_ids == num_rows (out of bounds -> scatter drops),
                     length == 0
-  * padded columns: col_ids == 0 (masked via length),
-                    tuple_idx == pred_size in the by-item view (out of
-                    bounds -> scatter drops; gathers clamp and are
-                    masked); a real slab slot in the by-user view
-
-The flat prediction cache shared by the two views is laid out in
-BY-USER SLAB ORDER (``_build_buckets(slab=True)``): cache position =
-bucket slab offset + row*L + column, padding slots included. Each
-by-user bucket's cache traffic is then one contiguous dynamic-slice —
-no gather/scatter — and only the by-item view pays element scatters.
-The reference's cache is file-ordered (dataset.h:87-88); the ordering
-is internal, only consistency between the two views matters.
+  * padded columns: col_ids == 0 (masked via length)
 
 On a device mesh, bucket rows are sharded over the "data" axis; the
 embedding tables stay replicated (catalog sides are small for these
@@ -146,7 +139,6 @@ class Bucket:
 
     row_ids: jax.Array    # [N] int32; padded rows == num_rows (drop)
     col_ids: jax.Array    # [N, L] int32; padded cols == 0 (masked)
-    tuple_idx: jax.Array  # [N, L] int32; padded == nnz (drop)
     length: jax.Array     # [N] int32; 0 on padded rows
 
     @property
@@ -177,16 +169,12 @@ def _bucket_edges(max_len: int, min_bucket: int,
 def _build_buckets(
     sorted_rows: np.ndarray,      # [nnz] row id per tuple, sorted ascending
     sorted_cols: np.ndarray,      # [nnz] col id per tuple (same order)
-    sorted_tidx: np.ndarray,      # [nnz] global tuple index (same order)
     num_rows: int,
-    nnz: int,
     min_bucket: int,
     row_multiple: int,
     growth: int,
     max_rows: int = 0,
     max_tuples: int = 0,
-    slab: bool = False,
-    pad_tidx: Optional[int] = None,
 ):
     """Group rows by history length into padded tiles whose widths grow
     by ``growth`` per bucket. A coarser ladder (growth=4) pads more tuples
@@ -200,24 +188,9 @@ def _build_buckets(
     embeddings. Required beyond ML-1M scale: MSD (571k users, dim 512)
     would otherwise need ~600GB for one bucket's batched systems — the
     reference instead streams one user at a time (ials.h:326-361).
-
-    With ``slab`` the buckets define the PREDICTION-CACHE LAYOUT: every
-    slot of every bucket (padding included) gets a distinct cache
-    position ``slab_ofs + n*L + l``, so a bucket's cache traffic is one
-    contiguous slice of the flat cache — no gather/scatter at all on
-    this side (ops/assemble.py::gather_pred). Returns
-    ``(buckets, pad_map, total_slots)`` where ``pad_map[sorted_tidx] =
-    cache position`` re-keys the OTHER adjacency view onto this layout.
-    The reference's flat cache is file-ordered (dataset.h:87-88); the
-    ordering is internal — only consistency between views matters.
-    ``pad_tidx`` is the padding fill for tuple_idx (defaults to nnz).
     """
-    pad_map = np.empty(nnz, dtype=np.int32) if slab else None
     if sorted_rows.size == 0:
-        return (), pad_map, 0
-    if pad_tidx is None:
-        pad_tidx = nnz
-    slab_ofs = 0
+        return ()
     uniq, starts, counts = np.unique(
         sorted_rows, return_index=True, return_counts=True)
     max_len = int(counts.max())
@@ -248,31 +221,19 @@ def _build_buckets(
             length = np.zeros(n_pad, dtype=np.int32)
             length[:n] = ct[lo:hi]
             col_ids = np.zeros((n_pad, edge), dtype=np.int32)
-            tidx = np.full((n_pad, edge), pad_tidx, dtype=np.int32)
             # Vectorized ragged fill: flat (row, offset-within-row) pairs.
             cts = ct[lo:hi]
             row_of = np.repeat(np.arange(n), cts)
             off = _segment_arange(cts)
             gidx = np.repeat(st[lo:hi], cts) + off
             col_ids[row_of, off] = sorted_cols[gidx]
-            if slab:
-                tidx = slab_ofs + (
-                    np.arange(n_pad, dtype=np.int32)[:, None] * edge
-                    + np.arange(edge, dtype=np.int32)[None, :])
-                pad_map[sorted_tidx[gidx]] = (
-                    slab_ofs + row_of.astype(np.int32) * edge
-                    + off.astype(np.int32))
-                slab_ofs += n_pad * edge
-            else:
-                tidx[row_of, off] = sorted_tidx[gidx]
             buckets.append(
                 Bucket(
                     row_ids=jnp.asarray(row_ids),
                     col_ids=jnp.asarray(col_ids),
-                    tuple_idx=jnp.asarray(tidx),
                     length=jnp.asarray(length),
                 ))
-    return tuple(buckets), pad_map, slab_ofs
+    return tuple(buckets)
 
 
 def _segment_arange(counts: np.ndarray) -> np.ndarray:
@@ -300,16 +261,10 @@ def _bucket_budgets(dim: int, budget_bytes: int) -> Tuple[int, int]:
     return int(max_rows), int(max_tuples)
 
 
-def _csr_views(ids: np.ndarray, other: np.ndarray, nnz: int,
-               rank: Optional[np.ndarray] = None):
-    """Stable sort tuples by ``ids``; returns (sorted ids, other, tuple idx).
-
-    ``rank`` renumbers tuples (tuple_idx = rank[file position]) — used to
-    key the by-item view onto the by-user slab cache layout (see
-    ``_build_buckets``)."""
+def _csr_views(ids: np.ndarray, other: np.ndarray):
+    """Stable sort tuples by ``ids``; returns (sorted ids, other)."""
     order = np.argsort(ids, kind="stable")
-    tidx = np.arange(nnz, dtype=np.int32) if rank is None else rank
-    return ids[order], other[order], tidx[order]
+    return ids[order], other[order]
 
 
 @jax.tree_util.register_dataclass
@@ -331,10 +286,6 @@ class DeviceData:
     num_users: int = dataclasses.field(metadata=dict(static=True))
     num_items: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
-    # Flat prediction-cache length: total by-user slab slots (>= nnz;
-    # padding slots hold zeros). See _build_buckets(slab=True).
-    pred_size: int = dataclasses.field(metadata=dict(static=True),
-                                       default=0)
 
     @classmethod
     def build(
@@ -354,19 +305,15 @@ class DeviceData:
         row_multiple = row_multiple * mesh_lib.num_shards(mesh)
         max_rows, max_tuples = _bucket_budgets(dim, memory_budget_bytes)
 
-        u_rows, u_cols, u_tidx = _csr_views(ds.user_ids, ds.item_ids,
-                                            ds.nnz)
-        by_user, pad_map, pred_size = _build_buckets(
-            u_rows, u_cols, u_tidx, num_users, ds.nnz,
-            min_bucket, row_multiple, growth, max_rows, max_tuples,
-            slab=True)
+        u_rows, u_cols = _csr_views(ds.user_ids, ds.item_ids)
+        by_user = _build_buckets(
+            u_rows, u_cols, num_users,
+            min_bucket, row_multiple, growth, max_rows, max_tuples)
 
-        i_rows, i_cols, i_tidx = _csr_views(ds.item_ids, ds.user_ids,
-                                            ds.nnz, rank=pad_map)
-        by_item, _, _ = _build_buckets(
-            i_rows, i_cols, i_tidx, num_items, ds.nnz,
-            min_bucket, row_multiple, growth, max_rows, max_tuples,
-            pad_tidx=pred_size)
+        i_rows, i_cols = _csr_views(ds.item_ids, ds.user_ids)
+        by_item = _build_buckets(
+            i_rows, i_cols, num_items,
+            min_bucket, row_multiple, growth, max_rows, max_tuples)
 
         uh = np.zeros(num_users, dtype=np.float32)
         np.add.at(uh, ds.user_ids, 1.0)
@@ -384,7 +331,6 @@ class DeviceData:
             num_users=num_users,
             num_items=num_items,
             nnz=ds.nnz,
-            pred_size=pred_size,
         )
         if mesh is not None:
             dd = dd.shard(mesh)
@@ -396,7 +342,6 @@ class DeviceData:
         shard_bucket = lambda b: Bucket(
             row_ids=mesh_lib.put(b.row_ids, mesh_lib.row_sharding(mesh, 1)),
             col_ids=mesh_lib.put(b.col_ids, mesh_lib.row_sharding(mesh, 2)),
-            tuple_idx=mesh_lib.put(b.tuple_idx, mesh_lib.row_sharding(mesh, 2)),
             length=mesh_lib.put(b.length, mesh_lib.row_sharding(mesh, 1)),
         )
         return dataclasses.replace(
@@ -432,8 +377,6 @@ class FoldInData:
     n_pad: int = dataclasses.field(metadata=dict(static=True))
     num_items: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
-    pred_size: int = dataclasses.field(metadata=dict(static=True),
-                                       default=0)
 
     @classmethod
     def build(
@@ -456,12 +399,10 @@ class FoldInData:
         remap = {int(u): i for i, u in enumerate(uniq)}
         compact_u = np.searchsorted(uniq, tr.user_ids).astype(np.int32)
 
-        u_rows, u_cols, u_tidx = _csr_views(compact_u, tr.item_ids,
-                                            tr.nnz)
-        by_user, _, pred_size = _build_buckets(
-            u_rows, u_cols, u_tidx, n_eval, tr.nnz,
-            min_bucket, row_multiple, growth, max_rows, max_tuples,
-            slab=True)
+        u_rows, u_cols = _csr_views(compact_u, tr.item_ids)
+        by_user = _build_buckets(
+            u_rows, u_cols, n_eval,
+            min_bucket, row_multiple, growth, max_rows, max_tuples)
 
         n_pad = _round_up(max(n_eval, 1), max(chunk, row_multiple))
 
@@ -504,7 +445,6 @@ class FoldInData:
             n_pad=n_pad,
             num_items=num_items,
             nnz=tr.nnz,
-            pred_size=pred_size,
         )
         if mesh is not None:
             rep = mesh_lib.replicated(mesh)

@@ -18,7 +18,7 @@ Conventions:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,17 +38,22 @@ def safe_len(bucket: Bucket) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def _solve_groups(buckets, dim: int, budget_bytes: int = 2 << 30):
+def _solve_groups(buckets, dim: int, budget_bytes: int = 2 << 30,
+                  gather_dim: int = None):
     """Greedily group buckets so one solve batch's live slabs — the
     [rows, d, d] systems (~2 solver copies) AND the gathered
     [rows, L, d] history slabs — stay under the memory budget. The
     gather term matters for zipf-head widths: several [200, 2048, d]
     slabs fit the d x d budget but their gathers alone exceeded HBM at
-    MSD scale before it was accounted."""
+    MSD scale before it was accounted. ``gather_dim`` overrides the
+    gathered-slab width when it differs from the system size (blockwise
+    sweeps solve [bs, bs] systems but gather full-width rows)."""
+    g_dim = dim if gather_dim is None else gather_dim
+
     def cost(b):
         w_eff = min(b.width, assemble.WIDE_CHUNK) if (
-            assemble.is_wide(b, dim)) else b.width
-        return b.n_rows * (dim * dim * 4 + w_eff * (dim + 1) * 4)
+            assemble.is_wide(b, g_dim)) else b.width
+        return b.n_rows * (dim * dim * 4 + w_eff * (g_dim + 1) * 4)
 
     floor = 64 * dim * dim * 4
     cap = max(budget_bytes, floor)
@@ -368,21 +373,20 @@ def params_weighted_item(table_other: jax.Array, bucket: Bucket,
 # --------------------------------------------------------------------------
 
 
-def block_solve_sweep(table: jax.Array, pred: jax.Array, buckets,
-                      assemble_fn, s: int, e: int, *,
-                      contiguous: bool = False
-                      ) -> Tuple[jax.Array, jax.Array]:
+def block_solve_sweep(table: jax.Array, buckets, assemble_fn,
+                      s: int, e: int) -> jax.Array:
     """One blockwise delta-solve sweep over all buckets with a single
     batched solve (same op-count rationale as ``solve_sweep``).
 
-    ``assemble_fn(bucket) -> (a, rhs, x_loc, emb, mask, ridge)`` (the
-    ridge rides the solver's lazy diagonal shift); the new local rows
-    are ``x_loc - A^-1 rhs`` and the prediction cache is advanced by
-    ``emb @ delta`` per tuple (reference ialspp.h:399-406 / safer2pp.h:
-    504-508, as exact scatter-adds instead of lock-free racy writes).
+    ``assemble_fn(bucket) -> (a, rhs, x_loc, ridge)`` (the ridge rides
+    the solver's lazy diagonal shift); the new local rows are
+    ``x_loc - A^-1 rhs``. There is NO prediction cache: the residual
+    inside ``rhs`` is recomputed from the live tables by the assemble
+    functions (see ``block_assemble_unweighted`` for why that beats the
+    reference's cache on TPU).
     """
     if not buckets:
-        return table, pred
+        return table
     groups = group_same_shape(buckets)
     singles = [g for g in groups if isinstance(g, Bucket)]
 
@@ -390,113 +394,121 @@ def block_solve_sweep(table: jax.Array, pred: jax.Array, buckets,
         if isinstance(g, Bucket):
             continue
 
-        def body(carry, b):
-            tbl, prd = carry
-            a, rhs, x_loc, emb, mask, ridge = assemble_fn(
-                tie_bucket(b, tbl))
+        def body(tbl, b):
+            a, rhs, x_loc, ridge = assemble_fn(tie_bucket(b, tbl))
             d_b = -solve.cholesky_solve(a, rhs, ridge)
-            pred_delta = assemble.rowwise_dot(emb, d_b) * mask
-            prd = assemble.scatter_pred_update(prd, b, pred_delta,
-                                               add=True,
-                                               contiguous=contiguous)
-            tbl = write_block(tbl, b, s, e, x_loc + d_b)
-            return (tbl, prd), None
+            return write_block(tbl, b, s, e, x_loc + d_b), None
 
-        (table, pred), _ = jax.lax.scan(body, (table, pred), g.stack)
+        table, _ = jax.lax.scan(body, table, g.stack)
 
-    for group in _solve_groups(singles, e - s):
+    for group in _solve_groups(singles, e - s,
+                               gather_dim=table.shape[1]):
         systems = [assemble_fn(b) for b in group]
         if len(group) == 1:
-            a, rhs, ridge = systems[0][0], systems[0][1], systems[0][5]
+            a, rhs, ridge = systems[0][0], systems[0][1], systems[0][3]
         else:
             a = jnp.concatenate([t[0] for t in systems], axis=0)
             rhs = jnp.concatenate([t[1] for t in systems], axis=0)
-            ridge = jnp.concatenate([t[5] for t in systems], axis=0)
+            ridge = jnp.concatenate([t[3] for t in systems], axis=0)
         delta = -solve.cholesky_solve(a, rhs, ridge)
         ofs = 0
-        for b, (_, _, x_loc, emb, mask, _r) in zip(group, systems):
+        for b, (_, _, x_loc, _r) in zip(group, systems):
             d_b = delta[ofs:ofs + b.n_rows]
             ofs += b.n_rows
-            pred_delta = assemble.rowwise_dot(emb, d_b) * mask
-            pred = assemble.scatter_pred_update(pred, b, pred_delta,
-                                                add=True,
-                                                contiguous=contiguous)
             table = write_block(table, b, s, e, x_loc + d_b)
-    return table, pred
+    return table
 
 
 def block_assemble_unweighted(
-    table_self: jax.Array, other_loc: jax.Array, pred: jax.Array,
+    table_self: jax.Array, table_other: jax.Array,
     bucket: Bucket, s: int, e: int, g_loc: jax.Array, g_lg: jax.Array,
-    reg_rows: jax.Array, uobs: float, dtype=None, contiguous=False,
+    reg_rows: jax.Array, uobs: float, dtype=None,
 ):
     """iALS++ block delta system (reference ialspp.h:85-145).
 
     A = uobs * G_loc + reg * I + sum_h v_loc v_loc^T
     rhs = sum_h v_loc (pred_t - 1) + uobs * G_lg @ x_full + reg * x_loc
+
+    The reference keeps ``pred_t`` in a flat per-tuple cache advanced
+    after every block solve (ialspp.h:399-406) because recomputing a
+    full dot per tuple costs O(d/bs) more scalar FLOPs per epoch on a
+    CPU. On TPU the trade inverts: a row gather costs ~2.2ns *per row
+    regardless of width*, so gathering the FULL-width rows instead of
+    the bs-wide block costs almost nothing extra, and recomputing
+    ``pred = <v_full, x_full>`` is one memory-bound multiply+reduce over
+    a slab that is already live — while the cache's by-item accesses
+    are per-ELEMENT gathers/scatter-adds, measured ~100x slower per
+    touched value (docs/PERFORMANCE.md). Recomputation also removes the
+    cache's accumulated-delta float drift: predictions are always exact
+    dots of the live tables.
     """
     x_full = table_self[bucket.row_ids]
     x_loc = x_full[:, s:e]
-    emb, mask = assemble.gather_history(other_loc, bucket, dtype)
-    resid = assemble.gather_pred(pred, bucket, mask,
-                                 contiguous=contiguous) - mask  # pred-1
-    a = assemble.row_gramians(emb)
+    emb, mask = assemble.gather_history(table_other, bucket, dtype)
+    emb_loc = emb[..., s:e]
+    resid = assemble.rowwise_dot(emb, x_full) - mask           # pred - 1
+    a = assemble.row_gramians(emb_loc)
     a = a + uobs * g_loc[None].astype(a.dtype)
-    rhs = assemble.row_sums(emb, col_weight=resid)
+    rhs = assemble.row_sums(emb_loc, col_weight=resid)
     rhs = rhs + uobs * (x_full @ g_lg.T) + reg_rows[:, None] * x_loc
-    return a, rhs, x_loc, emb, mask, reg_rows
+    return a, rhs, x_loc, reg_rows
 
 
 def block_assemble_user_safer(
-    table_self: jax.Array, other_loc: jax.Array, pred: jax.Array,
+    table_self: jax.Array, table_other: jax.Array,
     bucket: Bucket, s: int, e: int, g_loc: jax.Array, g_lg: jax.Array,
     reg_rows: jax.Array, uobs: float, row_weight: jax.Array, dtype=None,
-    contiguous=False,
 ):
     """SAFER2++ user block system (reference safer2pp.h:97-159):
 
     A = w * (sum_h v_loc v_loc^T / |H| + uobs * G_loc) + reg * I
     rhs = (w/|H|) sum_h v_loc (pred-1) + w * uobs * G_lg @ u_full
           + reg * u_loc
+
+    ``pred`` is recomputed from the live tables instead of the
+    reference's flat cache (safer2pp.h:504-508) — see
+    ``block_assemble_unweighted`` for why the cache loses on TPU.
     """
     x_full = table_self[bucket.row_ids]
     x_loc = x_full[:, s:e]
-    emb, mask = assemble.gather_history(other_loc, bucket, dtype)
-    resid = assemble.gather_pred(pred, bucket, mask,
-                                 contiguous=contiguous) - mask
+    emb, mask = assemble.gather_history(table_other, bucket, dtype)
+    emb_loc = emb[..., s:e]
+    resid = assemble.rowwise_dot(emb, x_full) - mask
     inv_len = 1.0 / safe_len(bucket)
     w = row_weight
-    a = assemble.row_gramians(emb) * inv_len[:, None, None]
+    a = assemble.row_gramians(emb_loc) * inv_len[:, None, None]
     a = (a + uobs * g_loc[None].astype(a.dtype)) * w[:, None, None]
-    rhs = assemble.row_sums(emb, col_weight=resid) * (w * inv_len)[:, None]
+    rhs = assemble.row_sums(emb_loc, col_weight=resid)
+    rhs = rhs * (w * inv_len)[:, None]
     rhs = rhs + (uobs * w)[:, None] * (x_full @ g_lg.T)
     rhs = rhs + reg_rows[:, None] * x_loc
-    return a, rhs, x_loc, emb, mask, reg_rows
+    return a, rhs, x_loc, reg_rows
 
 
 def block_assemble_item_safer(
-    table_self: jax.Array, other_loc: jax.Array, pred: jax.Array,
+    table_self: jax.Array, table_other: jax.Array,
     bucket: Bucket, s: int, e: int, g_loc_w: jax.Array, g_lg_w: jax.Array,
     reg_rows: jax.Array, uobs: float, norm_dual: jax.Array, dtype=None,
-    contiguous=False,
 ):
     """SAFER2++ item block system (reference safer2pp.h:161-216):
 
     A = uobs * G_loc_w + reg * I + sum_h wt_u u_loc u_loc^T
     rhs = sum_h wt_u u_loc (pred-1) + uobs * G_lg_w @ v_full + reg * v_loc
-    with G_loc_w/G_lg_w built from the raw-dual-weighted user block.
+    with G_loc_w/G_lg_w built from the raw-dual-weighted user block;
+    ``pred`` recomputed from the live tables (no cache — see
+    ``block_assemble_unweighted``).
     """
     x_full = table_self[bucket.row_ids]
     x_loc = x_full[:, s:e]
-    emb, mask, wt = assemble.gather_history_extra(other_loc, norm_dual,
+    emb, mask, wt = assemble.gather_history_extra(table_other, norm_dual,
                                                   bucket, dtype)
-    resid = assemble.gather_pred(pred, bucket, mask,
-                                 contiguous=contiguous) - mask
-    a = assemble.row_gramians(emb, col_weight=wt)
+    emb_loc = emb[..., s:e]
+    resid = assemble.rowwise_dot(emb, x_full) - mask
+    a = assemble.row_gramians(emb_loc, col_weight=wt)
     a = a + uobs * g_loc_w[None].astype(a.dtype)
-    rhs = assemble.row_sums(emb, col_weight=wt * resid)
+    rhs = assemble.row_sums(emb_loc, col_weight=wt * resid)
     rhs = rhs + uobs * (x_full @ g_lg_w.T) + reg_rows[:, None] * x_loc
-    return a, rhs, x_loc, emb, mask, reg_rows
+    return a, rhs, x_loc, reg_rows
 
 
 def write_block(table: jax.Array, bucket: Bucket, s: int, e: int,
@@ -512,51 +524,27 @@ def write_block(table: jax.Array, bucket: Bucket, s: int, e: int,
 # --------------------------------------------------------------------------
 
 
-def predict_all(user_emb: jax.Array, item_emb: jax.Array, by_user,
-                pred_size: int, dtype=None) -> jax.Array:
-    """Flat prediction cache over all tuples (reference ialspp.h:469-517).
-
-    The cache is in by-user slab order, so every write here is one
-    contiguous update-slice of masked values (padding slots get 0)."""
-    def body(pred, b, _):
-        emb, mask = assemble.gather_history(item_emb, b, dtype)
-        u = user_emb[b.row_ids]
-        vals = assemble.rowwise_dot(emb, u) * mask
-        return assemble.scatter_pred_update(pred, b, vals, add=False,
-                                            contiguous=True)
-
-    return sweep_apply(by_user, None, assemble.pred_buffer(pred_size),
-                       body)
-
-
 def user_losses(user_emb: jax.Array, item_emb: jax.Array,
                 gramian: jax.Array, by_user, num_users: int, uobs: float,
-                *, halve: bool, pred: Optional[jax.Array] = None,
-                dtype=None) -> jax.Array:
+                *, halve: bool, dtype=None) -> jax.Array:
     """Per-user losses (reference ials.h:70-86 / safer2.h:85-101):
 
     L_u = sum_h (v^T u - 1)^2 / |H_u| + uobs * u^T G u   [ / 2 if halve ]
 
-    ``pred`` uses the cached predictions for the observed part instead of
-    re-scoring (reference safer2pp.h:80-95). Absent users keep loss 0.
+    The blockwise models' reference computes the observed part from the
+    flat prediction cache (safer2pp.h:80-95); here predictions are
+    always recomputed — same values, one row gather + multiply-reduce
+    pass. Absent users keep loss 0.
     """
     def body(out, b, _):
         u = user_emb[b.row_ids]
-        if pred is None and assemble.is_wide(b, item_emb.shape[1]):
+        if assemble.is_wide(b, item_emb.shape[1]):
             t = item_emb if dtype is None else item_emb.astype(dtype)
             obs = assemble.wide_obs(t, b, u) / safe_len(b)
-            quad = uobs * jnp.einsum("nd,de,ne->n", u, gramian, u)
-            loss = obs + quad
-            if halve:
-                loss = loss * 0.5
-            return assemble.scatter_vector(out, b.row_ids, loss)
-        mask = assemble.history_mask(b)
-        if pred is None:
+        else:
             emb, mask = assemble.gather_history(item_emb, b, dtype)
             p = assemble.rowwise_dot(emb, u)
-        else:
-            p = assemble.gather_pred(pred, b, mask, contiguous=True)
-        obs = jnp.sum(jnp.square(p - 1.0) * mask, axis=1) / safe_len(b)
+            obs = jnp.sum(jnp.square(p - 1.0) * mask, axis=1) / safe_len(b)
         quad = uobs * jnp.einsum("nd,de,ne->n", u, gramian, u)
         loss = obs + quad
         if halve:

@@ -2,17 +2,19 @@
 
 Capability parity with reference include/frecsys/ialspp.h
 (IALSppRecommender, the "subspace optimization" of the iALS++ paper):
-residual-cached delta solves over blocks of size ``block_size``:
+delta solves over blocks of size ``block_size``:
 
   A = uobs * G_loc + reg * I + sum_h v_loc v_loc^T
   rhs = sum_h v_loc (pred - 1) + uobs * G_lg @ x + reg * x_loc
   x_loc <- x_loc - A^-1 rhs                        (ialspp.h:85-145)
 
-Train epoch = predict all tuples, then per block {user sweep, item sweep},
-each sweep keeping the flat prediction cache exact (ialspp.h:208-261).
-The reference's lock-free racy cache scatter (ialspp.h:399-406) becomes an
-exact masked scatter-add. Held-out eval = 8 blockwise fold-in epochs
-(ialspp.h:149-206, num_epochs hard-coded at :152).
+Train epoch = per block {user sweep, item sweep} (ialspp.h:208-261).
+The reference's flat prediction cache with lock-free racy scatters
+(ialspp.h:399-406, :469-517) is folded away: each sweep recomputes
+``pred`` from the live tables, which on TPU beats maintaining a
+per-tuple cache (models/common.py::block_assemble_unweighted).
+Held-out eval = 8 blockwise fold-in epochs (ialspp.h:149-206,
+num_epochs hard-coded at :152).
 """
 
 from __future__ import annotations
@@ -41,8 +43,8 @@ class IALSpp(Recommender):
         d, bs = self.cfg.dim, self.cfg.block_size
         return [(s, min(s + bs, d)) for s in range(0, d, bs)]
 
-    def _block_sweep(self, table_self, table_other, pred, buckets,
-                     s, e, num_choices, *, contiguous=False):
+    def _block_sweep(self, table_self, table_other, buckets,
+                     s, e, num_choices):
         """One Step over one side for one block (reference
         ialspp.h:351-424)."""
         cfg = self.cfg
@@ -54,22 +56,17 @@ class IALSpp(Recommender):
             reg = common.ials_reg(b.length, num_choices, cfg.l2_reg,
                                   cfg.l2_reg_exp, cfg.uobs_weight)
             return common.block_assemble_unweighted(
-                table_self, other_loc, pred, b, s, e, g_loc, g_lg,
-                reg, cfg.uobs_weight, dtype=self.asm_dtype,
-                contiguous=contiguous)
+                table_self, table_other, b, s, e, g_loc, g_lg,
+                reg, cfg.uobs_weight, dtype=self.asm_dtype)
 
-        return common.block_solve_sweep(table_self, pred, buckets,
-                                        assemble_fn, s, e,
-                                        contiguous=contiguous)
+        return common.block_solve_sweep(table_self, buckets,
+                                        assemble_fn, s, e)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         u, v = state.user_emb, state.item_emb
-        pred = common.predict_all(u, v, dd.by_user, dd.pred_size, dtype=self.asm_dtype)
         for (s, e) in self._blocks():
-            u, pred = self._block_sweep(u, v, pred, dd.by_user, s, e,
-                                        dd.num_items, contiguous=True)
-            v, pred = self._block_sweep(v, u, pred, dd.by_item, s, e,
-                                        dd.num_users)
+            u = self._block_sweep(u, v, dd.by_user, s, e, dd.num_items)
+            v = self._block_sweep(v, u, dd.by_item, s, e, dd.num_users)
         gram = v.T @ v
         loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
                                   self.cfg.uobs_weight, halve=False, dtype=self.asm_dtype)
@@ -81,8 +78,7 @@ class IALSpp(Recommender):
         v = state.item_emb
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         for _ in range(self.cfg.eval_fold_in_epochs):
-            pred = common.predict_all(ue, v, fold.by_user, fold.pred_size, dtype=self.asm_dtype)
             for (s, e) in self._blocks():
-                ue, pred = self._block_sweep(ue, v, pred, fold.by_user,
-                                             s, e, self.num_items)
+                ue = self._block_sweep(ue, v, fold.by_user, s, e,
+                                       self.num_items)
         return ue

@@ -1,9 +1,12 @@
 """SAFER2++: SAFER2 fused with iALS++-style block coordinate descent.
 
 Capability parity with reference include/frecsys/safer2pp.h
-(SAFER2ppRecommender): blockwise delta solves with a flat
-prediction/residual cache, a fully vectorized z-step, cache-based loss
-computation, and SAFER2's xi machinery:
+(SAFER2ppRecommender): blockwise delta solves, a fully vectorized
+z-step, and SAFER2's xi machinery. The reference's flat
+prediction/residual cache (safer2pp.h:469-517, :504-508) is folded
+away: every sweep recomputes predictions from the live tables, which
+on TPU is cheaper than the cache's per-element gathers/scatters (see
+models/common.py::block_assemble_unweighted).
 
   user block : A = w (sum v_loc v_loc^T / |H| + uobs G_loc) + reg I
                rhs = (w/|H|) sum v_loc (pred-1) + w uobs G_lg u + reg u_loc
@@ -12,8 +15,9 @@ computation, and SAFER2's xi machinery:
                wt = z/|H_u| residual rhs (safer2pp.h:161-216)
   z-step     : vectorized over the whole dual vector (safer2pp.h:839-862 —
                unlike SAFER2, id gaps are updated too)
-  loss       : from the prediction cache (safer2pp.h:611-652)
-  train      : predict, pd x {z, blocks x {U, V}}, V^T V, loss, xi
+  loss       : recomputed per-tuple (same values as the reference's
+               cache-based safer2pp.h:611-652)
+  train      : pd x {z, blocks x {U, V}}, V^T V, loss, xi
                (safer2pp.h:288-355)
   eval       : 8 blockwise fold-in epochs with weight 1 (safer2pp.h:220-286)
 """
@@ -53,7 +57,7 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         return self.cfg.l2_reg * (
             stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
 
-    def _block_sweep_u(self, u, v, pred, buckets, s, e, dual):
+    def _block_sweep_u(self, u, v, buckets, s, e, dual):
         cfg = self.cfg
         v_loc = v[:, s:e]
         g_loc = v_loc.T @ v_loc
@@ -63,14 +67,13 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         def assemble_fn(b):
             w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
             return common.block_assemble_user_safer(
-                u, v_loc, pred, b, s, e, g_loc, g_lg,
+                u, v, b, s, e, g_loc, g_lg,
                 jnp.full((b.n_rows,), reg, jnp.float32),
-                cfg.uobs_weight, w, dtype=self.asm_dtype, contiguous=True)
+                cfg.uobs_weight, w, dtype=self.asm_dtype)
 
-        return common.block_solve_sweep(u, pred, buckets, assemble_fn, s, e,
-                                        contiguous=True)
+        return common.block_solve_sweep(u, buckets, assemble_fn, s, e)
 
-    def _block_sweep_v(self, v, u, pred, dd: DeviceData, s, e, dual):
+    def _block_sweep_v(self, v, u, dd: DeviceData, s, e, dual):
         cfg = self.cfg
         u_loc = u[:, s:e]
         u_loc_w = u_loc * dual[:, None]
@@ -83,17 +86,15 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         def assemble_fn(b):
             reg = self._item_reg(dd.item_reg, b.row_ids)
             return common.block_assemble_item_safer(
-                v, u_loc, pred, b, s, e, g_loc_w, g_lg_w, reg,
+                v, u, b, s, e, g_loc_w, g_lg_w, reg,
                 cfg.uobs_weight, norm_dual, dtype=self.asm_dtype)
 
-        return common.block_solve_sweep(v, pred, dd.by_item, assemble_fn,
-                                        s, e)
+        return common.block_solve_sweep(v, dd.by_item, assemble_fn, s, e)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         cfg = self.cfg
         u, v = state.user_emb, state.item_emb
         loss, dual = state.user_loss, state.dual_weight
-        pred = common.predict_all(u, v, dd.by_user, dd.pred_size, dtype=self.asm_dtype)
         gram = state.item_gramian
         for _ in range(cfg.pd_iterations):
             # Vectorized z-step over the full dual vector
@@ -101,13 +102,12 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
             dual = smoothing.dual_weight(loss, state.xi, cfg.bandwidth,
                                          cfg.use_epanechnikov)
             for (s, e) in self._blocks():
-                u, pred = self._block_sweep_u(u, v, pred, dd.by_user,
-                                              s, e, dual)
-                v, pred = self._block_sweep_v(v, u, pred, dd, s, e, dual)
+                u = self._block_sweep_u(u, v, dd.by_user, s, e, dual)
+                v = self._block_sweep_v(v, u, dd, s, e, dual)
             gram = v.T @ v
             loss = common.user_losses(u, v, gram, dd.by_user,
                                       dd.num_users, cfg.uobs_weight,
-                                      halve=True, pred=pred)
+                                      halve=True, dtype=self.asm_dtype)
         key, sub = jax.random.split(state.key)
         xi = quantile.compute_xi(
             loss, state.xi, sub, nr_iterations=cfg.xi_iterations,
@@ -119,16 +119,15 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
                              key=key)
 
     def initialize(self, dd: DeviceData) -> None:
-        """Predict, losses from cache, xi warm start
-        (reference safer2pp.h:885-912)."""
+        """Initial losses + xi warm start (reference safer2pp.h:885-912;
+        the reference's cache priming is folded away — predictions are
+        recomputed wherever needed)."""
         @jax.jit
         def _init(state: MFState):
-            pred = common.predict_all(state.user_emb, state.item_emb,
-                                      dd.by_user, dd.pred_size, dtype=self.asm_dtype)
             loss = common.user_losses(
                 state.user_emb, state.item_emb, state.item_gramian,
                 dd.by_user, dd.num_users, self.cfg.uobs_weight,
-                halve=True, pred=pred)
+                halve=True, dtype=self.asm_dtype)
             key, sub = jax.random.split(state.key)
             xi = quantile.compute_xi(
                 loss, jnp.mean(loss), sub,
@@ -148,8 +147,6 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         ones = jnp.ones((fold.n_pad,), jnp.float32)
         for _ in range(self.cfg.eval_fold_in_epochs):
-            pred = common.predict_all(ue, v, fold.by_user, fold.pred_size, dtype=self.asm_dtype)
             for (s, e) in self._blocks():
-                ue, pred = self._block_sweep_u(ue, v, pred, fold.by_user,
-                                               s, e, ones)
+                ue = self._block_sweep_u(ue, v, fold.by_user, s, e, ones)
         return ue

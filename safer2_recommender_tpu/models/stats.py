@@ -40,12 +40,17 @@ def loss_decomposition(
     """Returns (loss, loss_observed, loss_unobserved, loss_reg,
     reg_user_now, reg_item_now) — the six scalars of the reference's
     stats line."""
-    pred = common.predict_all(user_emb, item_emb, dd.by_user,
-                              dd.pred_size)
-    # Slab-layout padding slots hold exactly 0 and would each contribute
-    # (0-1)^2 = 1 to the sum; subtract their count.
-    loss_observed = jnp.sum(jnp.square(pred - 1.0)) - (
-        dd.pred_size - dd.nnz)
+    # sum over tuples of (pred - 1)^2, recomputed per bucket (the
+    # reference reads its prediction cache; same values).
+    from safer2_recommender_tpu.ops import assemble
+
+    def body(acc, b, _):
+        emb, mask = assemble.gather_history(item_emb, b)
+        p = assemble.rowwise_dot(emb, user_emb[b.row_ids])
+        return acc + jnp.sum(jnp.square(p - 1.0) * mask)
+
+    loss_observed = common.sweep_apply(dd.by_user, None,
+                                       jnp.zeros((), jnp.float32), body)
 
     u_present = (dd.user_hist_size > 0).astype(jnp.float32)
     i_present = (dd.item_hist_size > 0).astype(jnp.float32)

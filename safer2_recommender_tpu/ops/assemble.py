@@ -253,57 +253,10 @@ def scatter_vector(vec: jax.Array, row_ids: jax.Array,
     return vec.at[row_ids].set(values.astype(vec.dtype), mode="drop")
 
 
-def gather_pred(pred: jax.Array, bucket: Bucket, mask: jax.Array,
-                contiguous: bool = False) -> jax.Array:
-    """Prediction-cache gather for the bucket's tuples: [N, L] (masked).
-
-    The cache is laid out in by-user slab order (data/dataset.py::
-    _build_buckets(slab=True)): each by-user bucket owns one contiguous
-    [N*L] run of the cache, padding slots included, starting at
-    ``tuple_idx[0, 0]``. With ``contiguous`` the read is a single
-    dynamic-slice + reshape — no gather at all. (A per-row L-wide window
-    gather was tried first and benched SLOWER than element gathers:
-    TPU gathers are only fast on dim-0 rows of 2-D operands, and 1-D
-    windows at arbitrary starts lane-shift every row.) The by-item view
-    keeps the element-gather path.
-    """
-    if contiguous:
-        n, l = bucket.col_ids.shape
-        flat = jax.lax.dynamic_slice(pred, (bucket.tuple_idx[0, 0],),
-                                     (n * l,))
-        return flat.reshape(n, l) * mask
-    return pred[jnp.minimum(bucket.tuple_idx, pred.shape[0] - 1)] * mask
-
-
-def pred_buffer(pred_size: int) -> jax.Array:
-    """Zeroed flat prediction cache in by-user slab order
-    (``DeviceData.pred_size`` slots; padding slots stay zero)."""
-    return jnp.zeros((pred_size,), dtype=jnp.float32)
-
-
-def scatter_pred_update(pred: jax.Array, bucket: Bucket,
-                        values: jax.Array, *, add: bool,
-                        contiguous: bool = False) -> jax.Array:
-    """Write/accumulate per-tuple values into the flat prediction cache —
-    the exact-math replacement for the reference's lock-free racy cache
-    updates (ialspp.h:399-406, safer2pp.h:504-508). ``values`` must
-    already be masked.
-
-    With ``contiguous`` (by-user buckets, which own a whole slab run of
-    the cache) the update is one dynamic-update-slice (plus a slice-read
-    for ``add``); padding slots receive masked zeros. By-item buckets
-    use element scatters; their padded slots carry tuple_idx ==
-    pred_size (out of bounds -> dropped).
-    """
-    if contiguous:
-        n, l = bucket.col_ids.shape
-        start = bucket.tuple_idx[0, 0]
-        vals = values.reshape(n * l).astype(pred.dtype)
-        if add:
-            vals = vals + jax.lax.dynamic_slice(pred, (start,), (n * l,))
-        return jax.lax.dynamic_update_slice(pred, vals, (start,))
-    if add:
-        return pred.at[bucket.tuple_idx.reshape(-1)].add(
-            values.reshape(-1), mode="drop")
-    return pred.at[bucket.tuple_idx.reshape(-1)].set(
-        values.reshape(-1), mode="drop")
+# NOTE: there is deliberately NO per-tuple prediction cache here. The
+# reference's flat rating-indexed cache (ialspp.h:399-406,
+# safer2pp.h:504-508) exists to avoid recomputing full dots on a CPU;
+# on TPU its by-item accesses are per-ELEMENT gathers/scatter-adds
+# (~100x slower per value than row gathers — docs/PERFORMANCE.md), so
+# the blockwise models recompute predictions from the live tables
+# instead (models/common.py::block_assemble_unweighted).

@@ -5,40 +5,33 @@ import numpy as np
 from safer2_recommender_tpu import Dataset, DeviceData, FoldInData
 
 
-def _pairs_from_buckets(buckets, nnz):
-    """Recover (row, col, tuple_idx) triples from padded buckets."""
-    rows, cols, tidx = [], [], []
+def _pairs_from_buckets(buckets):
+    """Recover (row, col) pairs from padded buckets."""
+    rows, cols = [], []
     for b in buckets:
         r = np.asarray(b.row_ids)
         c = np.asarray(b.col_ids)
-        t = np.asarray(b.tuple_idx)
         ln = np.asarray(b.length)
         for k in range(r.shape[0]):
             if ln[k] == 0:
                 continue
             rows.extend([r[k]] * int(ln[k]))
             cols.extend(c[k, : ln[k]])
-            tidx.extend(t[k, : ln[k]])
-    return np.array(rows), np.array(cols), np.array(tidx)
+    return np.array(rows), np.array(cols)
 
 
 def test_roundtrip(tiny):
     ds, dd = tiny
-    rows, cols, tidx = _pairs_from_buckets(dd.by_user, ds.nnz)
+    rows, cols = _pairs_from_buckets(dd.by_user)
     assert len(rows) == ds.nnz
-    # every tuple gets a distinct cache position inside the slab buffer
-    assert len(np.unique(tidx)) == ds.nnz
-    assert tidx.max() < dd.pred_size
     # by_user recovers the COO multiset
     assert sorted(zip(rows.tolist(), cols.tolist())) == sorted(
         zip(ds.user_ids.tolist(), ds.item_ids.tolist()))
-    # both views must agree on each tuple's cache position
-    pos_to_ui = {int(t): (int(r), int(c))
-                 for r, c, t in zip(rows, cols, tidx)}
-    rows_i, cols_i, tidx_i = _pairs_from_buckets(dd.by_item, ds.nnz)
+    # the by_item view is the transposed multiset
+    rows_i, cols_i = _pairs_from_buckets(dd.by_item)
     assert len(rows_i) == ds.nnz
-    assert all(pos_to_ui[int(t)] == (int(c), int(r))
-               for r, c, t in zip(rows_i, cols_i, tidx_i))
+    assert sorted(zip(cols_i.tolist(), rows_i.tolist())) == sorted(
+        zip(ds.user_ids.tolist(), ds.item_ids.tolist()))
 
 
 def test_hist_and_reg_stats(tiny):
@@ -55,32 +48,17 @@ def test_hist_and_reg_stats(tiny):
 
 def test_padding_sentinels(tiny):
     ds, dd = tiny
-    slabs = []
-    for b in dd.by_user:
+    for buckets, num in ((dd.by_user, dd.num_users),
+                         (dd.by_item, dd.num_items)):
+      for b in buckets:
         r = np.asarray(b.row_ids)
         ln = np.asarray(b.length)
-        t = np.asarray(b.tuple_idx)
-        assert np.all(r[ln == 0] == dd.num_users)
-        # by_user buckets own contiguous cache slabs: position =
-        # slab offset + row*width + col for EVERY slot
-        n, width = t.shape
-        expect = t[0, 0] + (np.arange(n)[:, None] * width
-                            + np.arange(width)[None, :])
-        assert np.array_equal(t, expect)
-        slabs.append((int(t[0, 0]), n * width))
-    # slabs tile [0, pred_size) without gaps or overlap
-    slabs.sort()
-    assert slabs[0][0] == 0
-    for (o1, s1), (o2, _) in zip(slabs, slabs[1:]):
-        assert o1 + s1 == o2
-    assert slabs[-1][0] + slabs[-1][1] == dd.pred_size
-    for b in dd.by_item:
-        ln = np.asarray(b.length)
-        t = np.asarray(b.tuple_idx)
-        # padded by-item slots point out of bounds (dropped by scatters)
-        pos = np.arange(t.shape[1])[None, :]
-        pad_mask = pos >= ln[:, None]
-        assert np.all(t[pad_mask] == dd.pred_size)
+        # padded rows carry out-of-bounds ids (dropped by scatters)
+        assert np.all(r[ln == 0] == num)
+        # padded columns are id 0 (masked by length at gather time)
+        c = np.asarray(b.col_ids)
+        pos = np.arange(c.shape[1])[None, :]
+        assert np.all(c[pos >= ln[:, None]] == 0)
 
 
 def test_fold_in_data(tiny):
