@@ -88,6 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="chain this many epochs on-device per dispatch "
                         "(lax.scan); >1 disables per-epoch stats lines "
                         "but removes the per-call host round trip")
+    p.add_argument("--compute_dtype", choices=("auto", "f32", "bf16"),
+                   default="auto",
+                   help="normal-equation assembly input dtype: 'auto' "
+                        "picks bf16 on TPU (f32 accumulation), f32 "
+                        "elsewhere; 'f32' forces strict f32 parity")
     return p
 
 
@@ -139,6 +144,7 @@ def main(argv=None) -> int:
         cg_error_tolerance=args.cg_error_tolerance,
         cg_max_iterations=args.cg_max_iterations,
         eig_refresh_tol=args.eig_refresh_tol,
+        compute_dtype=args.compute_dtype,
         epochs=args.epoch, seed=args.seed,
     )
 
