@@ -115,3 +115,35 @@ def test_safer2pp_epanechnikov_ml1m(ml1m):
     ndcg20, _ = _train_and_eval("safer2pp", cfg, ml1m, epochs=10,
                                 check_mean_weight=0.3)
     assert ndcg20 >= 0.2
+
+
+def test_ialspp_full_block_equals_ials():
+    # With block_size == dim the blockwise delta solve collapses
+    # algebraically to the exact solve: rhs = A x - b, so
+    # x - A^-1 rhs = A^-1 b. Since the cache-free engine recomputes
+    # pred = <v_full, x_full> from the live tables, one iALS++ epoch must
+    # reproduce one iALS epoch to float tolerance — a strong end-to-end
+    # check of the recomputed-residual math (reference ialspp.h:85-145
+    # vs ials.h:88-144).
+    import numpy as np
+
+    from safer2_recommender_tpu import Dataset, DeviceData
+
+    rng = np.random.default_rng(11)
+    pairs = np.unique(np.stack([rng.integers(0, 200, 5000),
+                                rng.integers(0, 90, 5000)], 1),
+                      axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    dd = DeviceData.build(ds)
+
+    embs = []
+    for name, bs in (("ials", 16), ("ialspp", 16)):
+        m = get_model(name, Config(dim=16, block_size=bs, seed=9),
+                      ds.num_users, ds.num_items)
+        m.train_epoch(dd)
+        embs.append((np.asarray(m.state.user_emb),
+                     np.asarray(m.state.item_emb)))
+    np.testing.assert_allclose(embs[0][0], embs[1][0], rtol=5e-4,
+                               atol=5e-5)
+    np.testing.assert_allclose(embs[0][1], embs[1][1], rtol=5e-4,
+                               atol=5e-5)
