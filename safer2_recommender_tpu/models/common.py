@@ -444,12 +444,16 @@ def block_assemble_unweighted(
     """
     x_full = table_self[bucket.row_ids]
     x_loc = x_full[:, s:e]
-    emb, mask = assemble.gather_history(table_other, bucket, dtype)
-    emb_loc = emb[..., s:e]
-    resid = assemble.rowwise_dot(emb, x_full) - mask           # pred - 1
-    a = assemble.row_gramians(emb_loc)
+    if assemble.is_wide(bucket, table_other.shape[1]):
+        a, rhs = assemble.wide_block_system(table_other, bucket, x_full,
+                                            s, e, dtype=dtype)
+    else:
+        emb, mask = assemble.gather_history(table_other, bucket, dtype)
+        emb_loc = emb[..., s:e]
+        resid = assemble.rowwise_dot(emb, x_full) - mask       # pred - 1
+        a = assemble.row_gramians(emb_loc)
+        rhs = assemble.row_sums(emb_loc, col_weight=resid)
     a = a + uobs * g_loc[None].astype(a.dtype)
-    rhs = assemble.row_sums(emb_loc, col_weight=resid)
     rhs = rhs + uobs * (x_full @ g_lg.T) + reg_rows[:, None] * x_loc
     return a, rhs, x_loc, reg_rows
 
@@ -471,14 +475,19 @@ def block_assemble_user_safer(
     """
     x_full = table_self[bucket.row_ids]
     x_loc = x_full[:, s:e]
-    emb, mask = assemble.gather_history(table_other, bucket, dtype)
-    emb_loc = emb[..., s:e]
-    resid = assemble.rowwise_dot(emb, x_full) - mask
+    if assemble.is_wide(bucket, table_other.shape[1]):
+        a, rhs = assemble.wide_block_system(table_other, bucket, x_full,
+                                            s, e, dtype=dtype)
+    else:
+        emb, mask = assemble.gather_history(table_other, bucket, dtype)
+        emb_loc = emb[..., s:e]
+        resid = assemble.rowwise_dot(emb, x_full) - mask
+        a = assemble.row_gramians(emb_loc)
+        rhs = assemble.row_sums(emb_loc, col_weight=resid)
     inv_len = 1.0 / safe_len(bucket)
     w = row_weight
-    a = assemble.row_gramians(emb_loc) * inv_len[:, None, None]
+    a = a * inv_len[:, None, None]
     a = (a + uobs * g_loc[None].astype(a.dtype)) * w[:, None, None]
-    rhs = assemble.row_sums(emb_loc, col_weight=resid)
     rhs = rhs * (w * inv_len)[:, None]
     rhs = rhs + (uobs * w)[:, None] * (x_full @ g_lg.T)
     rhs = rhs + reg_rows[:, None] * x_loc
@@ -500,13 +509,18 @@ def block_assemble_item_safer(
     """
     x_full = table_self[bucket.row_ids]
     x_loc = x_full[:, s:e]
-    emb, mask, wt = assemble.gather_history_extra(table_other, norm_dual,
-                                                  bucket, dtype)
-    emb_loc = emb[..., s:e]
-    resid = assemble.rowwise_dot(emb, x_full) - mask
-    a = assemble.row_gramians(emb_loc, col_weight=wt)
+    if assemble.is_wide(bucket, table_other.shape[1]):
+        a, rhs = assemble.wide_block_system(table_other, bucket, x_full,
+                                            s, e, extra_vec=norm_dual,
+                                            dtype=dtype)
+    else:
+        emb, mask, wt = assemble.gather_history_extra(
+            table_other, norm_dual, bucket, dtype)
+        emb_loc = emb[..., s:e]
+        resid = assemble.rowwise_dot(emb, x_full) - mask
+        a = assemble.row_gramians(emb_loc, col_weight=wt)
+        rhs = assemble.row_sums(emb_loc, col_weight=wt * resid)
     a = a + uobs * g_loc_w[None].astype(a.dtype)
-    rhs = assemble.row_sums(emb_loc, col_weight=wt * resid)
     rhs = rhs + uobs * (x_full @ g_lg_w.T) + reg_rows[:, None] * x_loc
     return a, rhs, x_loc, reg_rows
 

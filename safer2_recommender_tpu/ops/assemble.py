@@ -173,6 +173,41 @@ def wide_matvec(table: jax.Array, bucket: Bucket, x: jax.Array,
     return ax, rhs
 
 
+def wide_block_system(table: jax.Array, bucket: Bucket,
+                      x_full: jax.Array, s: int, e: int,
+                      extra_vec: Optional[jax.Array] = None,
+                      dtype=None) -> Tuple[jax.Array, jax.Array]:
+    """Streamed blockwise system pieces over column chunks:
+
+        A_loc = sum_h wt v_loc v_loc^T
+        r1    = sum_h wt v_loc (pred - 1),   pred = <v_full, x_full>
+
+    with ``wt = mask`` (or ``extra[col] * mask``). The blockwise (++)
+    models' zipf-head analogue of ``wide_assemble``: predictions are
+    recomputed chunk-by-chunk from the full-width rows, so the cache-free
+    residual math needs no [N, L, d] slab for hot rows either.
+    """
+    n = bucket.n_rows
+    bs = e - s
+    xs, gather_fn = _wide_chunks(table, extra_vec, bucket, dtype)
+
+    def body(carry, xc):
+        a, r1 = carry
+        cols_c, off = xc
+        emb, mask, wt = gather_fn(cols_c, off)
+        wt = mask if wt is None else wt
+        p = rowwise_dot(emb, x_full)
+        emb_loc = emb[..., s:e]
+        a = a + row_gramians(emb_loc, col_weight=wt)
+        r1 = r1 + row_sums(emb_loc, col_weight=wt * (p - mask))
+        return (a, r1), None
+
+    init = (jnp.zeros((n, bs, bs), jnp.float32),
+            jnp.zeros((n, bs), jnp.float32))
+    (a, r1), _ = jax.lax.scan(body, init, xs)
+    return a, r1
+
+
 def wide_obs(table: jax.Array, bucket: Bucket, probe_rows: jax.Array,
              dtype=None) -> jax.Array:
     """Streamed per-row ``sum_h (v.u - 1)^2`` for the loss pass."""

@@ -161,7 +161,10 @@ def test_wide_streamed_assembly_matches_dense(monkeypatch):
         m.train_epoch(dd)
         return np.asarray(m.state.item_emb), np.asarray(m.state.user_loss)
 
-    for name in ("safer2", "cvar_mf"):
+    # blockwise models stream the zipf head through wide_block_system
+    # (per-chunk recomputed predictions), exact models through
+    # wide_assemble/wide_matvec — all must match the dense path.
+    for name in ("safer2", "cvar_mf", "ialspp", "safer2pp"):
         v_ref, l_ref = run(name)
         monkeypatch.setattr(assemble, "WIDE_SLAB_BYTES", 1)
         monkeypatch.setattr(assemble, "WIDE_CHUNK", 256)
