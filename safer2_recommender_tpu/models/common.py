@@ -374,16 +374,20 @@ def params_weighted_item(table_other: jax.Array, bucket: Bucket,
 
 
 def block_solve_sweep(table: jax.Array, buckets, assemble_fn,
-                      s: int, e: int) -> jax.Array:
+                      s, bs: int) -> jax.Array:
     """One blockwise delta-solve sweep over all buckets with a single
     batched solve (same op-count rationale as ``solve_sweep``).
 
     ``assemble_fn(bucket) -> (a, rhs, x_loc, ridge)`` (the ridge rides
     the solver's lazy diagonal shift); the new local rows are
-    ``x_loc - A^-1 rhs``. There is NO prediction cache: the residual
-    inside ``rhs`` is recomputed from the live tables by the assemble
-    functions (see ``block_assemble_unweighted`` for why that beats the
-    reference's cache on TPU).
+    ``x_loc - A^-1 rhs``. ``s`` is the block's column offset — a Python
+    int OR a traced scalar (the ++ models scan one shared sweep body
+    over all uniform blocks; an unrolled per-block op chain made dim-512
+    programs take minutes to compile); ``bs`` is the static block size.
+    There is NO prediction cache: the residual inside ``rhs`` is
+    recomputed from the live tables by the assemble functions (see
+    ``block_assemble_unweighted`` for why that beats the reference's
+    cache on TPU).
     """
     if not buckets:
         return table
@@ -397,11 +401,11 @@ def block_solve_sweep(table: jax.Array, buckets, assemble_fn,
         def body(tbl, b):
             a, rhs, x_loc, ridge = assemble_fn(tie_bucket(b, tbl))
             d_b = -solve.cholesky_solve(a, rhs, ridge)
-            return write_block(tbl, b, s, e, x_loc + d_b), None
+            return write_block(tbl, b, s, x_loc + d_b), None
 
         table, _ = jax.lax.scan(body, table, g.stack)
 
-    for group in _solve_groups(singles, e - s,
+    for group in _solve_groups(singles, bs,
                                gather_dim=table.shape[1]):
         systems = [assemble_fn(b) for b in group]
         if len(group) == 1:
@@ -415,13 +419,13 @@ def block_solve_sweep(table: jax.Array, buckets, assemble_fn,
         for b, (_, _, x_loc, _r) in zip(group, systems):
             d_b = delta[ofs:ofs + b.n_rows]
             ofs += b.n_rows
-            table = write_block(table, b, s, e, x_loc + d_b)
+            table = write_block(table, b, s, x_loc + d_b)
     return table
 
 
 def block_assemble_unweighted(
     table_self: jax.Array, table_other: jax.Array,
-    bucket: Bucket, s: int, e: int, g_loc: jax.Array, g_lg: jax.Array,
+    bucket: Bucket, s, bs: int, g_loc: jax.Array, g_lg: jax.Array,
     reg_rows: jax.Array, uobs: float, dtype=None,
 ):
     """iALS++ block delta system (reference ialspp.h:85-145).
@@ -441,15 +445,18 @@ def block_assemble_unweighted(
     touched value (docs/PERFORMANCE.md). Recomputation also removes the
     cache's accumulated-delta float drift: predictions are always exact
     dots of the live tables.
+
+    ``s``/``bs``: block column offset (traced scalar or int) and static
+    block size — see ``block_solve_sweep``.
     """
     x_full = table_self[bucket.row_ids]
-    x_loc = x_full[:, s:e]
+    x_loc = jax.lax.dynamic_slice_in_dim(x_full, s, bs, axis=1)
     if assemble.is_wide(bucket, table_other.shape[1]):
         a, rhs = assemble.wide_block_system(table_other, bucket, x_full,
-                                            s, e, dtype=dtype)
+                                            s, bs, dtype=dtype)
     else:
         emb, mask = assemble.gather_history(table_other, bucket, dtype)
-        emb_loc = emb[..., s:e]
+        emb_loc = jax.lax.dynamic_slice_in_dim(emb, s, bs, axis=2)
         resid = assemble.rowwise_dot(emb, x_full) - mask       # pred - 1
         a = assemble.row_gramians(emb_loc)
         rhs = assemble.row_sums(emb_loc, col_weight=resid)
@@ -460,7 +467,7 @@ def block_assemble_unweighted(
 
 def block_assemble_user_safer(
     table_self: jax.Array, table_other: jax.Array,
-    bucket: Bucket, s: int, e: int, g_loc: jax.Array, g_lg: jax.Array,
+    bucket: Bucket, s, bs: int, g_loc: jax.Array, g_lg: jax.Array,
     reg_rows: jax.Array, uobs: float, row_weight: jax.Array, dtype=None,
 ):
     """SAFER2++ user block system (reference safer2pp.h:97-159):
@@ -474,13 +481,13 @@ def block_assemble_user_safer(
     ``block_assemble_unweighted`` for why the cache loses on TPU.
     """
     x_full = table_self[bucket.row_ids]
-    x_loc = x_full[:, s:e]
+    x_loc = jax.lax.dynamic_slice_in_dim(x_full, s, bs, axis=1)
     if assemble.is_wide(bucket, table_other.shape[1]):
         a, rhs = assemble.wide_block_system(table_other, bucket, x_full,
-                                            s, e, dtype=dtype)
+                                            s, bs, dtype=dtype)
     else:
         emb, mask = assemble.gather_history(table_other, bucket, dtype)
-        emb_loc = emb[..., s:e]
+        emb_loc = jax.lax.dynamic_slice_in_dim(emb, s, bs, axis=2)
         resid = assemble.rowwise_dot(emb, x_full) - mask
         a = assemble.row_gramians(emb_loc)
         rhs = assemble.row_sums(emb_loc, col_weight=resid)
@@ -496,7 +503,7 @@ def block_assemble_user_safer(
 
 def block_assemble_item_safer(
     table_self: jax.Array, table_other: jax.Array,
-    bucket: Bucket, s: int, e: int, g_loc_w: jax.Array, g_lg_w: jax.Array,
+    bucket: Bucket, s, bs: int, g_loc_w: jax.Array, g_lg_w: jax.Array,
     reg_rows: jax.Array, uobs: float, norm_dual: jax.Array, dtype=None,
 ):
     """SAFER2++ item block system (reference safer2pp.h:161-216):
@@ -508,15 +515,15 @@ def block_assemble_item_safer(
     ``block_assemble_unweighted``).
     """
     x_full = table_self[bucket.row_ids]
-    x_loc = x_full[:, s:e]
+    x_loc = jax.lax.dynamic_slice_in_dim(x_full, s, bs, axis=1)
     if assemble.is_wide(bucket, table_other.shape[1]):
         a, rhs = assemble.wide_block_system(table_other, bucket, x_full,
-                                            s, e, extra_vec=norm_dual,
+                                            s, bs, extra_vec=norm_dual,
                                             dtype=dtype)
     else:
         emb, mask, wt = assemble.gather_history_extra(
             table_other, norm_dual, bucket, dtype)
-        emb_loc = emb[..., s:e]
+        emb_loc = jax.lax.dynamic_slice_in_dim(emb, s, bs, axis=2)
         resid = assemble.rowwise_dot(emb, x_full) - mask
         a = assemble.row_gramians(emb_loc, col_weight=wt)
         rhs = assemble.row_sums(emb_loc, col_weight=wt * resid)
@@ -525,9 +532,10 @@ def block_assemble_item_safer(
     return a, rhs, x_loc, reg_rows
 
 
-def write_block(table: jax.Array, bucket: Bucket, s: int, e: int,
+def write_block(table: jax.Array, bucket: Bucket, s,
                 new_loc: jax.Array) -> jax.Array:
-    """Scatter new local columns back into full rows."""
+    """Scatter new local columns back into full rows (``s`` may be a
+    traced block offset)."""
     rows = table[bucket.row_ids]
     rows = jax.lax.dynamic_update_slice_in_dim(rows, new_loc, s, axis=1)
     return assemble.scatter_rows(table, bucket.row_ids, rows)

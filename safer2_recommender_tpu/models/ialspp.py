@@ -44,11 +44,13 @@ class IALSpp(Recommender):
         return [(s, min(s + bs, d)) for s in range(0, d, bs)]
 
     def _block_sweep(self, table_self, table_other, buckets,
-                     s, e, num_choices):
+                     s, bs, num_choices):
         """One Step over one side for one block (reference
-        ialspp.h:351-424)."""
+        ialspp.h:351-424). ``s`` may be a traced offset (scanned blocks,
+        see ``common.block_solve_sweep``); ``bs`` is static."""
         cfg = self.cfg
-        other_loc = table_other[:, s:e]
+        other_loc = jax.lax.dynamic_slice_in_dim(table_other, s, bs,
+                                                 axis=1)
         g_loc = other_loc.T @ other_loc
         g_lg = other_loc.T @ table_other
 
@@ -56,17 +58,33 @@ class IALSpp(Recommender):
             reg = common.ials_reg(b.length, num_choices, cfg.l2_reg,
                                   cfg.l2_reg_exp, cfg.uobs_weight)
             return common.block_assemble_unweighted(
-                table_self, table_other, b, s, e, g_loc, g_lg,
+                table_self, table_other, b, s, bs, g_loc, g_lg,
                 reg, cfg.uobs_weight, dtype=self.asm_dtype)
 
         return common.block_solve_sweep(table_self, buckets,
-                                        assemble_fn, s, e)
+                                        assemble_fn, s, bs)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         u, v = state.user_emb, state.item_emb
-        for (s, e) in self._blocks():
-            u = self._block_sweep(u, v, dd.by_user, s, e, dd.num_items)
-            v = self._block_sweep(v, u, dd.by_item, s, e, dd.num_users)
+        d, bs = self.cfg.dim, self.cfg.block_size
+        if d % bs == 0:
+            # Uniform blocks: ONE scanned sweep body for all d/bs blocks
+            # (the unrolled chain made dim-512 compiles take minutes).
+            def body(carry, s):
+                cu, cv = carry
+                cu = self._block_sweep(cu, cv, dd.by_user, s, bs,
+                                       dd.num_items)
+                cv = self._block_sweep(cv, cu, dd.by_item, s, bs,
+                                       dd.num_users)
+                return (cu, cv), None
+            (u, v), _ = jax.lax.scan(body, (u, v),
+                                     jnp.arange(0, d, bs))
+        else:
+            for (s, e) in self._blocks():
+                u = self._block_sweep(u, v, dd.by_user, s, e - s,
+                                      dd.num_items)
+                v = self._block_sweep(v, u, dd.by_item, s, e - s,
+                                      dd.num_users)
         gram = v.T @ v
         loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
                                   self.cfg.uobs_weight, halve=False, dtype=self.asm_dtype)
@@ -74,11 +92,21 @@ class IALSpp(Recommender):
                              user_loss=loss)
 
     def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
-        """8 blockwise fold-in epochs (reference ialspp.h:149-206)."""
+        """8 blockwise fold-in epochs (reference ialspp.h:149-206),
+        scanned as one sweep body over epochs x blocks when uniform."""
         v = state.item_emb
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
+        d, bs = self.cfg.dim, self.cfg.block_size
+        if d % bs == 0:
+            offs = jnp.tile(jnp.arange(0, d, bs),
+                            self.cfg.eval_fold_in_epochs)
+            def body(cu, s):
+                return self._block_sweep(cu, v, fold.by_user, s, bs,
+                                         self.num_items), None
+            ue, _ = jax.lax.scan(body, ue, offs)
+            return ue
         for _ in range(self.cfg.eval_fold_in_epochs):
             for (s, e) in self._blocks():
-                ue = self._block_sweep(ue, v, fold.by_user, s, e,
+                ue = self._block_sweep(ue, v, fold.by_user, s, e - s,
                                        self.num_items)
         return ue

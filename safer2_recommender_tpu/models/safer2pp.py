@@ -57,9 +57,11 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         return self.cfg.l2_reg * (
             stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
 
-    def _block_sweep_u(self, u, v, buckets, s, e, dual):
+    def _block_sweep_u(self, u, v, buckets, s, bs, dual):
+        """``s`` may be a traced block offset (scanned blocks); ``bs``
+        is the static block size."""
         cfg = self.cfg
-        v_loc = v[:, s:e]
+        v_loc = jax.lax.dynamic_slice_in_dim(v, s, bs, axis=1)
         g_loc = v_loc.T @ v_loc
         g_lg = v_loc.T @ v
         reg = self._user_reg()
@@ -67,15 +69,15 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         def assemble_fn(b):
             w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
             return common.block_assemble_user_safer(
-                u, v, b, s, e, g_loc, g_lg,
+                u, v, b, s, bs, g_loc, g_lg,
                 jnp.full((b.n_rows,), reg, jnp.float32),
                 cfg.uobs_weight, w, dtype=self.asm_dtype)
 
-        return common.block_solve_sweep(u, buckets, assemble_fn, s, e)
+        return common.block_solve_sweep(u, buckets, assemble_fn, s, bs)
 
-    def _block_sweep_v(self, v, u, dd: DeviceData, s, e, dual):
+    def _block_sweep_v(self, v, u, dd: DeviceData, s, bs, dual):
         cfg = self.cfg
-        u_loc = u[:, s:e]
+        u_loc = jax.lax.dynamic_slice_in_dim(u, s, bs, axis=1)
         u_loc_w = u_loc * dual[:, None]
         g_loc_w = u_loc_w.T @ u_loc
         g_lg_w = u_loc_w.T @ u
@@ -86,10 +88,10 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         def assemble_fn(b):
             reg = self._item_reg(dd.item_reg, b.row_ids)
             return common.block_assemble_item_safer(
-                v, u, b, s, e, g_loc_w, g_lg_w, reg,
+                v, u, b, s, bs, g_loc_w, g_lg_w, reg,
                 cfg.uobs_weight, norm_dual, dtype=self.asm_dtype)
 
-        return common.block_solve_sweep(v, dd.by_item, assemble_fn, s, e)
+        return common.block_solve_sweep(v, dd.by_item, assemble_fn, s, bs)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         cfg = self.cfg
@@ -101,9 +103,23 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
             # (safer2pp.h:839-862).
             dual = smoothing.dual_weight(loss, state.xi, cfg.bandwidth,
                                          cfg.use_epanechnikov)
-            for (s, e) in self._blocks():
-                u = self._block_sweep_u(u, v, dd.by_user, s, e, dual)
-                v = self._block_sweep_v(v, u, dd, s, e, dual)
+            d, bs = cfg.dim, cfg.block_size
+            if d % bs == 0:
+                # Uniform blocks: one scanned {U, V} sweep body (the
+                # unrolled chain made dim-512 compiles take minutes).
+                def body(carry, s):
+                    cu, cv = carry
+                    cu = self._block_sweep_u(cu, cv, dd.by_user, s, bs,
+                                             dual)
+                    cv = self._block_sweep_v(cv, cu, dd, s, bs, dual)
+                    return (cu, cv), None
+                (u, v), _ = jax.lax.scan(body, (u, v),
+                                         jnp.arange(0, d, bs))
+            else:
+                for (s, e) in self._blocks():
+                    u = self._block_sweep_u(u, v, dd.by_user, s, e - s,
+                                            dual)
+                    v = self._block_sweep_v(v, u, dd, s, e - s, dual)
             gram = v.T @ v
             loss = common.user_losses(u, v, gram, dd.by_user,
                                       dd.num_users, cfg.uobs_weight,
@@ -141,12 +157,22 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         self.state = _init(self.state)
 
     def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
-        """8 blockwise fold-in epochs with weight 1
-        (reference safer2pp.h:220-286)."""
+        """8 blockwise fold-in epochs with weight 1 (reference
+        safer2pp.h:220-286), scanned over epochs x blocks when uniform."""
         v = state.item_emb
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         ones = jnp.ones((fold.n_pad,), jnp.float32)
+        d, bs = self.cfg.dim, self.cfg.block_size
+        if d % bs == 0:
+            offs = jnp.tile(jnp.arange(0, d, bs),
+                            self.cfg.eval_fold_in_epochs)
+            def body(cu, s):
+                return self._block_sweep_u(cu, v, fold.by_user, s, bs,
+                                           ones), None
+            ue, _ = jax.lax.scan(body, ue, offs)
+            return ue
         for _ in range(self.cfg.eval_fold_in_epochs):
             for (s, e) in self._blocks():
-                ue = self._block_sweep_u(ue, v, fold.by_user, s, e, ones)
+                ue = self._block_sweep_u(ue, v, fold.by_user, s, e - s,
+                                         ones)
         return ue

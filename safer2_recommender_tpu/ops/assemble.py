@@ -174,7 +174,7 @@ def wide_matvec(table: jax.Array, bucket: Bucket, x: jax.Array,
 
 
 def wide_block_system(table: jax.Array, bucket: Bucket,
-                      x_full: jax.Array, s: int, e: int,
+                      x_full: jax.Array, s, bs: int,
                       extra_vec: Optional[jax.Array] = None,
                       dtype=None) -> Tuple[jax.Array, jax.Array]:
     """Streamed blockwise system pieces over column chunks:
@@ -185,10 +185,10 @@ def wide_block_system(table: jax.Array, bucket: Bucket,
     with ``wt = mask`` (or ``extra[col] * mask``). The blockwise (++)
     models' zipf-head analogue of ``wide_assemble``: predictions are
     recomputed chunk-by-chunk from the full-width rows, so the cache-free
-    residual math needs no [N, L, d] slab for hot rows either.
+    residual math needs no [N, L, d] slab for hot rows either. ``s`` is
+    the block column offset (int or traced), ``bs`` the static size.
     """
     n = bucket.n_rows
-    bs = e - s
     xs, gather_fn = _wide_chunks(table, extra_vec, bucket, dtype)
 
     def body(carry, xc):
@@ -197,7 +197,7 @@ def wide_block_system(table: jax.Array, bucket: Bucket,
         emb, mask, wt = gather_fn(cols_c, off)
         wt = mask if wt is None else wt
         p = rowwise_dot(emb, x_full)
-        emb_loc = emb[..., s:e]
+        emb_loc = jax.lax.dynamic_slice_in_dim(emb, s, bs, axis=2)
         a = a + row_gramians(emb_loc, col_weight=wt)
         r1 = r1 + row_sums(emb_loc, col_weight=wt * (p - mask))
         return (a, r1), None
