@@ -133,18 +133,21 @@ def assemble_from_params(p: SolveParams, gram: jax.Array
     The ridge c0*I is NOT added here: it rides the solver's lazy
     diagonal shift (``solve.solve(..., ridge=p.c0)`` /
     ``block_chol._leaf_kernel``) — a slab-wide eye add is a full
-    memory-bound pass over the [N, d, d] systems.
+    memory-bound pass over the [N, d, d] systems. On the wide
+    (column-chunked) path the c1*G term seeds the streaming
+    accumulator and the row coefficient folds into the chunk weights,
+    so no post-pass over the [N, d, d] slab remains there either.
     """
     if p.wide is not None:
         wh = p.wide
+        init_a = p.c1[:, None, None] * gram[None].astype(jnp.float32)
         a, rhs = assemble.wide_assemble(wh.table, wh.bucket,
-                                        extra_vec=wh.extra_vec)
-        if wh.row_coef is not None:
-            a = a * wh.row_coef[:, None, None]
-            rhs = rhs * wh.row_coef[:, None]
-    else:
-        a = assemble.row_gramians(p.emb, col_weight=p.wt)
-        rhs = assemble.row_sums(p.emb, col_weight=p.r)
+                                        extra_vec=wh.extra_vec,
+                                        row_coef=wh.row_coef,
+                                        init_a=init_a)
+        return a, rhs
+    a = assemble.row_gramians(p.emb, col_weight=p.wt)
+    rhs = assemble.row_sums(p.emb, col_weight=p.r)
     a = a + p.c1[:, None, None] * gram[None].astype(a.dtype)
     return a, rhs
 

@@ -126,10 +126,17 @@ def _wide_chunks(table: jax.Array, vec: Optional[jax.Array],
 
 def wide_assemble(table: jax.Array, bucket: Bucket,
                   extra_vec: Optional[jax.Array] = None,
-                  dtype=None) -> Tuple[jax.Array, jax.Array]:
+                  dtype=None, row_coef: Optional[jax.Array] = None,
+                  init_a: Optional[jax.Array] = None
+                  ) -> Tuple[jax.Array, jax.Array]:
     """Streamed ``(sum_h wt v v^T, sum_h wt v)`` over column chunks with
-    ``wt = mask`` (or ``extra[col] * mask`` when ``extra_vec`` given);
-    row-level coefficients are applied by the caller."""
+    ``wt = mask`` (or ``extra[col] * mask`` when ``extra_vec`` given).
+
+    ``row_coef`` ([N]) folds a per-row coefficient into the chunk
+    weights (same numerics as the non-wide path's ``wt = coef * mask``)
+    and ``init_a`` ([N, d, d]) seeds the accumulator — together they
+    replace what used to be two/three extra full memory-bound passes
+    over the [N, d, d] slab (post-scale by coef, then add c1*G)."""
     n = bucket.n_rows
     d = table.shape[1]
     xs, gather_fn = _wide_chunks(table, extra_vec, bucket, dtype)
@@ -139,11 +146,13 @@ def wide_assemble(table: jax.Array, bucket: Bucket,
         cols_c, off = x
         emb, mask, wt = gather_fn(cols_c, off)
         wt = mask if wt is None else wt
+        if row_coef is not None:
+            wt = wt * row_coef[:, None]
         a = a + row_gramians(emb, col_weight=wt)
         rhs = rhs + row_sums(emb, col_weight=wt)
         return (a, rhs), None
 
-    init = (jnp.zeros((n, d, d), jnp.float32),
+    init = (jnp.zeros((n, d, d), jnp.float32) if init_a is None else init_a,
             jnp.zeros((n, d), jnp.float32))
     (a, rhs), _ = jax.lax.scan(body, init, xs)
     return a, rhs

@@ -147,3 +147,45 @@ def test_ialspp_full_block_equals_ials():
                                atol=5e-5)
     np.testing.assert_allclose(embs[0][1], embs[1][1], rtol=5e-4,
                                atol=5e-5)
+
+
+def test_scanned_blocks_equal_unrolled():
+    # The uniform-block scan path (one shared sweep body,
+    # models/ialspp.py::_epoch) must produce exactly the same update
+    # sequence as unrolled per-block sweeps with static offsets. dim=16
+    # with block_size 4 scans 4 blocks; forcing the unrolled path via a
+    # non-uniform layout is not equivalent math, so the reference here
+    # is hand-driving _block_sweep with Python-int offsets.
+    import numpy as np
+
+    from safer2_recommender_tpu import Dataset, DeviceData
+
+    rng = np.random.default_rng(3)
+    pairs = np.unique(np.stack([rng.integers(0, 120, 4000),
+                                rng.integers(0, 60, 4000)], 1),
+                      axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    dd = DeviceData.build(ds)
+
+    m = get_model("ialspp", Config(dim=16, block_size=4, seed=5),
+                  ds.num_users, ds.num_items)
+    u0 = np.asarray(m.state.user_emb)
+    v0 = np.asarray(m.state.item_emb)
+    m.train_epoch(dd)
+    u_scan = np.asarray(m.state.user_emb)
+    v_scan = np.asarray(m.state.item_emb)
+
+    import jax
+
+    @jax.jit
+    def unrolled(u, v):
+        for s in range(0, 16, 4):
+            u = m._block_sweep(u, v, dd.by_user, s, 4, ds.num_items)
+            v = m._block_sweep(v, u, dd.by_item, s, 4, ds.num_users)
+        return u, v
+
+    u_ref, v_ref = unrolled(u0, v0)
+    np.testing.assert_allclose(u_scan, np.asarray(u_ref), rtol=2e-5,
+                               atol=2e-6)
+    np.testing.assert_allclose(v_scan, np.asarray(v_ref), rtol=2e-5,
+                               atol=2e-6)
