@@ -40,13 +40,50 @@ def read_baseline_ms() -> float:
     return 0.0
 
 
+def backend_guard(timeout_s: float = 300.0) -> None:
+    """Fail over to CPU if the accelerator backend cannot initialize.
+
+    The axon TPU tunnel, when down, blocks the first backend use for
+    ~25 minutes before raising UNAVAILABLE; a benchmark that hangs and
+    records nothing is worse than one that reports a (clearly labeled)
+    CPU fallback number. Probe the backend in a subprocess with a
+    timeout and switch this process to CPU if it does not come up.
+    """
+    import subprocess
+
+    # NOTE: the env var is NOT a reliable signal here — this host's
+    # sitecustomize re-forces the axon platform at interpreter start, so
+    # the only honest check is whether a backend actually comes up (and
+    # the only effective override is jax.config, not the env).
+    try:
+        ok = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True).returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print("# accelerator backend unavailable -> CPU fallback",
+              file=sys.stderr)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main() -> int:
+    backend_guard()
+
     import jax
 
     from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
     from safer2_recommender_tpu.cli import enable_compilation_cache
 
     enable_compilation_cache()
+
+    global WARMUP_EPOCHS, BENCH_EPOCHS
+    reps = 2
+    if jax.default_backend() == "cpu":
+        # Emergency fallback only (single host core): keep it bounded.
+        WARMUP_EPOCHS, BENCH_EPOCHS, reps = 0, 2, 1
 
     train = Dataset.from_csv(os.path.join(ML1M_DIR, "train.csv"))
     dd = DeviceData.build(train, dim=DIM)
@@ -77,8 +114,8 @@ def main() -> int:
         return time.perf_counter() - t0
 
     k1 = 1
-    t1 = min(run(k1) for _ in range(2))
-    t2 = min(run(BENCH_EPOCHS) for _ in range(2))
+    t1 = min(run(k1) for _ in range(reps))
+    t2 = min(run(BENCH_EPOCHS) for _ in range(reps))
     epoch_s = (t2 - t1) / (BENCH_EPOCHS - k1)
 
     num_train_users = int((dd.user_hist_size > 0).sum())
