@@ -189,3 +189,33 @@ def test_scanned_blocks_equal_unrolled():
                                atol=2e-6)
     np.testing.assert_allclose(v_scan, np.asarray(v_ref), rtol=2e-5,
                                atol=2e-6)
+
+
+def test_use_cg_epoch_matches_exact():
+    # The --use_cg path (reference ials.h:133-138, Eigen CG with relative
+    # tolerance) must reproduce the exact Cholesky epoch to solver
+    # tolerance end-to-end, including the freq-scaled regularizer wiring.
+    import numpy as np
+
+    from safer2_recommender_tpu import Dataset, DeviceData
+
+    rng = np.random.default_rng(7)
+    pairs = np.unique(np.stack([rng.integers(0, 150, 4000),
+                                rng.integers(0, 70, 4000)], 1),
+                      axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    dd = DeviceData.build(ds)
+
+    embs = []
+    for use_cg in (False, True):
+        m = get_model("safer2", Config(dim=16, bandwidth=0.15, alpha=0.3,
+                                       use_cg=use_cg, seed=13),
+                      ds.num_users, ds.num_items)
+        m.initialize(dd)
+        m.train_epoch(dd)
+        embs.append((np.asarray(m.state.user_emb),
+                     np.asarray(m.state.item_emb)))
+    np.testing.assert_allclose(embs[0][0], embs[1][0], rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(embs[0][1], embs[1][1], rtol=1e-3,
+                               atol=1e-4)
