@@ -253,11 +253,25 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
     wood = [(b, p) for b, p in singles if is_wood(b)]
     direct = [(b, p) for b, p in singles if not is_wood(b)]
 
+    # Woodbury buckets are the narrow ones; when their combined live
+    # footprint (bf16 gather slab + f32 rotated slab + K systems) fits
+    # the budget, skip the serialization token BETWEEN them so XLA can
+    # overlap their gather/rotate/K-solve pipelines (each alone
+    # underfills the chip). The token still advances once after the
+    # group so the big direct slabs stay ordered behind them.
+    wood_bytes = sum(b.n_rows * b.width * (6 * dim + 4 * b.width)
+                     for b, _ in wood)
+    overlap = wood_bytes <= FUSE_BUDGET_BYTES
+    x = None
     for b, pre in wood:
         x = solve_one(b, pre)
-        token = (x[0, 0] == jnp.inf).astype(jnp.int32)   # always 0
-        ftoken = token.astype(jnp.float32)
+        if not overlap:
+            token = (x[0, 0] == jnp.inf).astype(jnp.int32)   # always 0
+            ftoken = token.astype(jnp.float32)
         table = assemble.scatter_rows(table, b.row_ids, x)
+    if overlap and wood:
+        token = (x[0, 0] == jnp.inf).astype(jnp.int32)       # always 0
+        ftoken = token.astype(jnp.float32)
 
     pres = {id(b): p for b, p in direct}
     for group in _solve_groups([b for b, _ in direct], dim):
