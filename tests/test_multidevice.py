@@ -21,7 +21,8 @@ def mesh():
     return get_mesh()
 
 
-@pytest.mark.parametrize("name", ["ials", "safer2", "safer2pp"])
+@pytest.mark.parametrize(
+    "name", ["ials", "ialspp", "erm_mf", "cvar_mf", "safer2", "safer2pp"])
 def test_sharded_epoch_matches_single_device(tiny, mesh, name):
     ds, _ = tiny
     cfg = Config(dim=8, block_size=4)
