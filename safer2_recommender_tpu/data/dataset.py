@@ -396,7 +396,6 @@ class FoldInData:
         max_rows, max_tuples = _bucket_budgets(dim, memory_budget_bytes)
         uniq = np.unique(tr.user_ids)
         n_eval = uniq.size
-        remap = {int(u): i for i, u in enumerate(uniq)}
         compact_u = np.searchsorted(uniq, tr.user_ids).astype(np.int32)
 
         u_rows, u_cols = _csr_views(compact_u, tr.item_ids)
@@ -411,7 +410,8 @@ class FoldInData:
         excl = np.full((n_pad, hmax), num_items, dtype=np.int32)
         order = np.argsort(compact_u, kind="stable")
         row_of = compact_u[order]
-        off = _segment_arange(counts[counts > 0]) if n_eval else np.zeros(0)
+        off = _segment_arange(counts[counts > 0]) if n_eval else (
+            np.zeros(0, dtype=np.int64))
         excl[row_of, off] = tr.item_ids[order]
 
         # ground truth (only te users that exist among tr users are

@@ -142,9 +142,11 @@ class Recommender:
         self.state = jax.block_until_ready(self._epoch_jit(self.state, dd))
         if self._stats_order == "post":
             self._log_train_stats(dd)
-        if self.print_train_stats or self.print_var_stats:
-            # these lines force a host sync; keep the hot path async
-            self._log_epoch_lines()
+        # The reference emits these per-epoch lines UNCONDITIONALLY
+        # inside Train (safer2.h:300,330-334; erm_mf.h:277;
+        # cvar_mf.h:301-303,328). They force a host sync; the chained
+        # ``train_epochs`` path stays silent for benchmarking.
+        self._log_epoch_lines()
         self._log_var_stats()
         if prev is not None:
             # Residual norms (reference safer2.h:324-328). Unlike the
@@ -226,14 +228,22 @@ class Recommender:
 
     def _eval_metrics(self, ue: jax.Array, item_emb: jax.Array,
                       fold: FoldInData, *, k_list: Tuple[int, ...]):
+        # largest divisor of the fold's padded row count that fits the
+        # configured chunk (FoldInData pads to its own default multiple,
+        # so an arbitrary eval_chunk need not divide n_pad)
         chunk = min(self.cfg.eval_chunk, fold.n_pad)
-        assert fold.n_pad % chunk == 0
+        while fold.n_pad % chunk:
+            chunk -= 1
         n_chunks = fold.n_pad // chunk
         d = ue.shape[1]
 
         def score_chunk(args):
             u, excl, gt, gt_len = args
-            scores = u @ item_emb.T          # [chunk, num_items] matmul
+            # full f32 like the reference's scoring (ials.h:181-183) —
+            # the default TPU precision is bf16 and near-tied items
+            # would reorder inside the top-k
+            scores = jnp.matmul(u, item_emb.T,
+                                precision=jax.lax.Precision.HIGHEST)
             return topk_metrics(scores, excl, gt, gt_len, k_list)
 
         rec, ndcg = jax.lax.map(
@@ -255,9 +265,12 @@ class Recommender:
             return
         loss = np.asarray(self.state.user_loss)
         vals = np.sort(-loss)
-        q = int(len(vals) * self.cfg.alpha)
+        # Reference (ials.h:212-218): Q = n * alpha stays a FLOAT — the
+        # sum runs over floor(Q)+1 elements but the divisor is Q itself.
+        qf = len(vals) * self.cfg.alpha
+        q = int(qf)
         var = -vals[q]
-        cvar = -vals[: q + 1].sum() / max(q, 1)
+        cvar = -vals[: q + 1].sum() / (qf if qf > 0 else 1.0)
         _log.info("VaR: %s CVaR: %s", var, cvar)
         dw = np.asarray(self.state.dual_weight)
         _log.info("Min: %.3f, Mean: %.3f, Max: %.3f",

@@ -198,6 +198,10 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
     token = jnp.int32(0)
     ftoken = jnp.float32(0.0)
 
+    def bump(arr):
+        t = (arr.ravel()[0] == jnp.inf).astype(jnp.int32)    # always 0
+        return t, t.astype(jnp.float32)
+
     groups = group_same_shape(buckets)
     if pre_list is None:
         pre_list = [None] * len(groups)
@@ -245,8 +249,7 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
                 x = solve_one(b, p)
                 return assemble.scatter_rows(tbl, b.row_ids, x), None
             table = jax.lax.scan(body, table, (g.stack, pre))[0]
-        token = (table[0, 0] == jnp.inf).astype(jnp.int32)   # always 0
-        ftoken = token.astype(jnp.float32)
+        token, ftoken = bump(table)
 
     # Remaining one-off buckets: Woodbury individually, direct solves
     # concatenated into as few budget-capped batches as possible.
@@ -254,24 +257,26 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
     direct = [(b, p) for b, p in singles if not is_wood(b)]
 
     # Woodbury buckets are the narrow ones; when their combined live
-    # footprint (bf16 gather slab + f32 rotated slab + K systems) fits
-    # the budget, skip the serialization token BETWEEN them so XLA can
-    # overlap their gather/rotate/K-solve pipelines (each alone
-    # underfills the chip). The token still advances once after the
-    # group so the big direct slabs stay ordered behind them.
-    wood_bytes = sum(b.n_rows * b.width * (6 * dim + 4 * b.width)
+    # footprint fits the budget, skip the serialization token BETWEEN
+    # them so XLA can overlap their gather/rotate/K-solve pipelines
+    # (each alone underfills the chip). The per-row estimate counts the
+    # path's peak concurrent slabs (woodbury.solve): the f32 rotated
+    # slab + its weighted copy + two compute-dtype copies at the K
+    # einsum (worst-case f32) ~= 16*dim, plus ~3 live [L, L] f32
+    # systems in the K-solve ~= 12*width. The token then advances once
+    # from the TABLE (which the scatter chain makes data-dependent on
+    # every wood solve) so the big direct slabs stay ordered behind the
+    # whole group.
+    wood_bytes = sum(b.n_rows * b.width * (16 * dim + 12 * b.width)
                      for b, _ in wood)
     overlap = wood_bytes <= FUSE_BUDGET_BYTES
-    x = None
     for b, pre in wood:
         x = solve_one(b, pre)
         if not overlap:
-            token = (x[0, 0] == jnp.inf).astype(jnp.int32)   # always 0
-            ftoken = token.astype(jnp.float32)
+            token, ftoken = bump(x)
         table = assemble.scatter_rows(table, b.row_ids, x)
     if overlap and wood:
-        token = (x[0, 0] == jnp.inf).astype(jnp.int32)       # always 0
-        ftoken = token.astype(jnp.float32)
+        token, ftoken = bump(table)
 
     pres = {id(b): p for b, p in direct}
     for group in _solve_groups([b for b, _ in direct], dim):
@@ -286,8 +291,7 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
             ridge = jnp.concatenate([p.c0 for p in ps], axis=0)
         x = solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
                         max_iters=cg_iters, ridge=ridge)
-        token = (x[0, 0] == jnp.inf).astype(jnp.int32)   # always 0
-        ftoken = token.astype(jnp.float32)
+        token, ftoken = bump(x)
         ofs = 0
         for b in group:
             table = assemble.scatter_rows(table, b.row_ids,

@@ -304,6 +304,18 @@ def _chol_inverse_rec(a: jax.Array, ridge: jax.Array) -> jax.Array:
     ], axis=1)
 
 
+def _pad_pow2(a: jax.Array) -> jax.Array:
+    """Pad [N, d, d] to the next power of two with identity blocks."""
+    d = a.shape[1]
+    d_pad = _next_pow2(d)
+    if d_pad == d:
+        return a
+    pad_eye = jnp.zeros((d_pad, d_pad), a.dtype).at[
+        jnp.arange(d, d_pad), jnp.arange(d, d_pad)].set(1.0)
+    a = jnp.pad(a, ((0, 0), (0, d_pad - d), (0, d_pad - d)))
+    return a + pad_eye[None]
+
+
 @functools.partial(jax.jit, static_argnames=())
 def chol_inverse(a: jax.Array, ridge: jax.Array = None) -> jax.Array:
     """inv(chol(a + diag(ridge))) for batched SPD a [N, d, d]
@@ -314,13 +326,7 @@ def chol_inverse(a: jax.Array, ridge: jax.Array = None) -> jax.Array:
     n, d, _ = a.shape
     if ridge is None:
         ridge = jnp.zeros((n,), a.dtype)
-    d_pad = _next_pow2(d)
-    if d_pad != d:
-        pad_eye = jnp.zeros((d_pad, d_pad), a.dtype).at[
-            jnp.arange(d, d_pad), jnp.arange(d, d_pad)].set(1.0)
-        a = jnp.pad(a, ((0, 0), (0, d_pad - d), (0, d_pad - d)))
-        a = a + pad_eye[None]
-    inv = _chol_inverse_rec(a, ridge)
+    inv = _chol_inverse_rec(_pad_pow2(a), ridge)
     return inv[:, :d, :d]
 
 
@@ -350,14 +356,6 @@ def _use_factored() -> bool:
     return os.environ.get("FRT_FACTORED_SOLVE") == "1"
 
 
-def _leaf_factor(a: jax.Array, ridge: jax.Array) -> jax.Array:
-    """Diagonal-block terminal: inv(chol(a + diag(ridge))), r <= _LANE_MAX."""
-    r = a.shape[1]
-    if r <= _LANE_MAX and r >= 8 and _use_leaf_kernel():
-        return _chol_inverse_leaf(a, ridge)
-    return _chol_inverse_rec(a, ridge)
-
-
 def _trsm_right(s: jax.Array, x: jax.Array) -> jax.Array:
     """x @ L^-T for the solve factor ``s`` [N, r, r]; x [N, m, r]."""
     r = s.shape[1]
@@ -375,7 +373,7 @@ def _factor_rec(a: jax.Array, ridge: jax.Array) -> jax.Array:
     inv(chol(.)) on the <=_LANE_MAX diagonal blocks."""
     n, r, _ = a.shape
     if r <= _LANE_MAX:
-        return _leaf_factor(a, ridge)
+        return _chol_inverse_rec(a, ridge)   # diagonal-block terminal
     h = r // 2
     s11 = _factor_rec(a[:, :h, :h], ridge)
     l21 = _trsm_right(s11, a[:, h:, :h])
@@ -440,10 +438,7 @@ def spd_solve(a: jax.Array, b: jax.Array,
         return x[:, :, 0]
     d_pad = _next_pow2(d)
     if d_pad != d:
-        pad_eye = jnp.zeros((d_pad, d_pad), a.dtype).at[
-            jnp.arange(d, d_pad), jnp.arange(d, d_pad)].set(1.0)
-        a = jnp.pad(a, ((0, 0), (0, d_pad - d), (0, d_pad - d)))
-        a = a + pad_eye[None]
+        a = _pad_pow2(a)
         b = jnp.pad(b, ((0, 0), (0, d_pad - d)))
     s = _factor_rec(a, ridge)
     x = _bwd_sub(s, _fwd_sub(s, b))

@@ -172,3 +172,30 @@ def test_wide_streamed_assembly_matches_dense(monkeypatch):
         monkeypatch.undo()
         np.testing.assert_allclose(v_wide, v_ref, rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(l_wide, l_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_fold_in_empty_datasets():
+    # Degenerate splits must build (the n_eval == 0 index fallback used
+    # to be float64 and crashed the ragged fill).
+    empty = Dataset(np.zeros(0, np.int32), np.zeros(0, np.int32))
+    te = Dataset(np.array([0, 1], np.int32), np.array([1, 2], np.int32))
+    assert FoldInData.build(empty, te, num_items=5).n_pad > 0
+    assert FoldInData.build(te, empty, num_items=5).n_pad > 0
+
+
+def test_eval_chunk_need_not_divide_fold_padding(tiny):
+    # Config.eval_chunk is user-settable; _eval_metrics must chunk any
+    # fold padding (it used to assert divisibility against the fold's
+    # own independent default).
+    from safer2_recommender_tpu import Config, get_model
+
+    ds, dd = tiny
+    tr = Dataset(ds.user_ids[::2], ds.item_ids[::2])
+    te = Dataset(ds.user_ids[1::2], ds.item_ids[1::2])
+    fold = FoldInData.build(tr, te, num_items=ds.num_items)
+    m = get_model("ials", Config(dim=8, eval_chunk=600),
+                  ds.num_users, ds.num_items)
+    m.initialize(dd)
+    m.train_epoch(dd)
+    res = m.evaluate_dataset(fold)
+    assert res.recall.shape[0] > 0
