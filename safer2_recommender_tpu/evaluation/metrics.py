@@ -77,6 +77,8 @@ def metric_cvar(values: np.ndarray,
     """
     ms = np.sort(np.asarray(values, dtype=np.float64))
     n = ms.size
+    if n == 0:        # no evaluable users: report zeros, don't crash
+        return np.zeros(len(alpha_list), dtype=np.float32)
     prefix = np.cumsum(ms)
     out = np.zeros(len(alpha_list), dtype=np.float32)
     for j, a in enumerate(alpha_list):

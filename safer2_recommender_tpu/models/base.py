@@ -282,14 +282,23 @@ class Recommender:
 
 
 class SaferFamilyMixin:
-    """Shared SAFER-family regularizers for the stats lines
-    (reference safer2.h:418-432, erm_mf.h:384-395)."""
+    """Shared SAFER-family regularizers (reference safer2.h:418-432,
+    erm_mf.h:384-395) — one home for the two formulas every family
+    member (erm_mf, cvar_mf, safer2, safer2pp) uses in its sweeps and
+    stats lines."""
+
+    def _user_reg(self) -> float:
+        # reference safer2.h:418-421
+        return self.cfg.l2_reg * (1.0 + self.cfg.uobs_weight
+                                  * self.num_items)
+
+    def _item_reg(self, item_reg_vec, row_ids) -> jax.Array:
+        # reference safer2.h:426-432; gap ids clamp to the last stat
+        stat = item_reg_vec[jnp.minimum(row_ids, item_reg_vec.shape[0] - 1)]
+        return self.cfg.l2_reg * (
+            stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
 
     def _reg_vectors(self, dd: DeviceData):
-        cfg = self.cfg
-        ur = jnp.full((dd.num_users,),
-                      cfg.l2_reg * (1.0 + cfg.uobs_weight * dd.num_items),
-                      jnp.float32)
-        ir = cfg.l2_reg * (
-            dd.item_reg + cfg.alpha * cfg.uobs_weight * dd.num_users)
+        ur = jnp.full((dd.num_users,), self._user_reg(), jnp.float32)
+        ir = self._item_reg(dd.item_reg, jnp.arange(dd.item_reg.shape[0]))
         return ur, ir

@@ -394,6 +394,28 @@ def params_weighted_item(table_other: jax.Array, bucket: Bucket,
 # --------------------------------------------------------------------------
 
 
+def blockwise(carry, dim: int, bs: int, body, repeats: int = 1):
+    """Drive ``body(carry, s, bs_static) -> carry`` over every embedding
+    block (times ``repeats`` epochs for the blockwise eval fold-in).
+
+    Uniform blocks (dim % bs == 0) run as ONE ``lax.scan`` over the
+    traced block offsets so the sweep's op graph appears once — the
+    unrolled per-block chain made dim-512 programs take minutes to
+    compile. A ragged tail block forces the unrolled path (offsets must
+    then be static because the tail's width differs).
+    """
+    if dim % bs == 0:
+        offs = jnp.arange(0, dim, bs)
+        if repeats > 1:
+            offs = jnp.tile(offs, repeats)
+        return jax.lax.scan(lambda c, s: (body(c, s, bs), None),
+                            carry, offs)[0]
+    for _ in range(repeats):
+        for s in range(0, dim, bs):
+            carry = body(carry, s, min(s + bs, dim) - s)
+    return carry
+
+
 def block_solve_sweep(table: jax.Array, buckets, assemble_fn,
                       s, bs: int) -> jax.Array:
     """One blockwise delta-solve sweep over all buckets with a single

@@ -34,15 +34,6 @@ class CVaRMF(SaferFamilyMixin, Recommender):
         log.info("Mean weights: %s", self.get_mean_weight())
         log.info("Xi:%s", float(self.state.xi))
 
-    def _user_reg(self) -> float:
-        return self.cfg.l2_reg * (1.0 + self.cfg.uobs_weight
-                                  * self.num_items)
-
-    def _item_reg(self, item_reg_vec, row_ids) -> jax.Array:
-        stat = item_reg_vec[jnp.minimum(row_ids, item_reg_vec.shape[0] - 1)]
-        return self.cfg.l2_reg * (
-            stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
-
     def _grad_step_u(self, ue, item_emb, gramian, buckets, dual,
                      pre_list=None):
         cfg = self.cfg

@@ -32,15 +32,6 @@ class ERMMF(SaferFamilyMixin, Recommender):
         # reference erm_mf.h:277-278
         self._log_weighted_loss()
 
-    def _user_reg(self) -> float:
-        return self.cfg.l2_reg * (1.0 + self.cfg.uobs_weight
-                                  * self.num_items)
-
-    def _item_reg(self, item_reg_vec, row_ids) -> jax.Array:
-        stat = item_reg_vec[jnp.minimum(row_ids, item_reg_vec.shape[0] - 1)]
-        return self.cfg.l2_reg * (
-            stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
-
     def _step_u(self, ue, item_emb, gramian, buckets, dual, pre_list=None,
                 q_prev=None):
         """Returns (new table, new eigenbasis or None)."""

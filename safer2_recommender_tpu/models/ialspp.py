@@ -39,10 +39,6 @@ class IALSpp(Recommender):
                              cfg.l2_reg_exp, cfg.uobs_weight)
         return ur, ir
 
-    def _blocks(self):
-        d, bs = self.cfg.dim, self.cfg.block_size
-        return [(s, min(s + bs, d)) for s in range(0, d, bs)]
-
     def _block_sweep(self, table_self, table_other, buckets,
                      s, bs, num_choices):
         """One Step over one side for one block (reference
@@ -65,26 +61,16 @@ class IALSpp(Recommender):
                                         assemble_fn, s, bs)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
-        u, v = state.user_emb, state.item_emb
-        d, bs = self.cfg.dim, self.cfg.block_size
-        if d % bs == 0:
-            # Uniform blocks: ONE scanned sweep body for all d/bs blocks
-            # (the unrolled chain made dim-512 compiles take minutes).
-            def body(carry, s):
-                cu, cv = carry
-                cu = self._block_sweep(cu, cv, dd.by_user, s, bs,
-                                       dd.num_items)
-                cv = self._block_sweep(cv, cu, dd.by_item, s, bs,
-                                       dd.num_users)
-                return (cu, cv), None
-            (u, v), _ = jax.lax.scan(body, (u, v),
-                                     jnp.arange(0, d, bs))
-        else:
-            for (s, e) in self._blocks():
-                u = self._block_sweep(u, v, dd.by_user, s, e - s,
-                                      dd.num_items)
-                v = self._block_sweep(v, u, dd.by_item, s, e - s,
-                                      dd.num_users)
+        def body(carry, s, bs):
+            cu, cv = carry
+            cu = self._block_sweep(cu, cv, dd.by_user, s, bs,
+                                   dd.num_items)
+            cv = self._block_sweep(cv, cu, dd.by_item, s, bs,
+                                   dd.num_users)
+            return (cu, cv)
+
+        u, v = common.blockwise((state.user_emb, state.item_emb),
+                                self.cfg.dim, self.cfg.block_size, body)
         gram = v.T @ v
         loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
                                   self.cfg.uobs_weight, halve=False, dtype=self.asm_dtype)
@@ -96,17 +82,8 @@ class IALSpp(Recommender):
         scanned as one sweep body over epochs x blocks when uniform."""
         v = state.item_emb
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
-        d, bs = self.cfg.dim, self.cfg.block_size
-        if d % bs == 0:
-            offs = jnp.tile(jnp.arange(0, d, bs),
-                            self.cfg.eval_fold_in_epochs)
-            def body(cu, s):
-                return self._block_sweep(cu, v, fold.by_user, s, bs,
-                                         self.num_items), None
-            ue, _ = jax.lax.scan(body, ue, offs)
-            return ue
-        for _ in range(self.cfg.eval_fold_in_epochs):
-            for (s, e) in self._blocks():
-                ue = self._block_sweep(ue, v, fold.by_user, s, e - s,
-                                       self.num_items)
-        return ue
+        return common.blockwise(
+            ue, self.cfg.dim, self.cfg.block_size,
+            lambda cu, s, bs: self._block_sweep(cu, v, fold.by_user, s,
+                                                bs, self.num_items),
+            repeats=self.cfg.eval_fold_in_epochs)

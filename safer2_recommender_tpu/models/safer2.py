@@ -40,17 +40,6 @@ class SAFER2(SaferFamilyMixin, Recommender):
         logging.getLogger("safer2_recommender_tpu").info(
             "Xi:%s", float(self.state.xi))
 
-    def _user_reg(self) -> float:
-        # reference safer2.h:418-421
-        return self.cfg.l2_reg * (1.0 + self.cfg.uobs_weight
-                                  * self.num_items)
-
-    def _item_reg(self, item_reg_vec, row_ids) -> jax.Array:
-        # reference safer2.h:426-432
-        stat = item_reg_vec[jnp.minimum(row_ids, item_reg_vec.shape[0] - 1)]
-        return self.cfg.l2_reg * (
-            stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
-
     def _step_u(self, ue, item_emb, gramian, buckets, dual, pre_list=None,
                 q_prev=None):
         """Returns (new table, new eigenbasis or None)."""
@@ -98,15 +87,6 @@ class SAFER2(SaferFamilyMixin, Recommender):
                                  cg_iters=cfg.cg_max_iterations)
         return out, (eig[0] if eig is not None else None)
 
-    def _zstep(self, state: MFState, present: jax.Array) -> jax.Array:
-        """Update duals for users with history only (the reference's
-        threaded z-step iterates data_by_user, safer2.h:745-794; id gaps
-        keep their init value alpha)."""
-        z_new = smoothing.dual_weight(state.user_loss, state.xi,
-                                      self.cfg.bandwidth,
-                                      self.cfg.use_epanechnikov)
-        return jnp.where(present, z_new, state.dual_weight)
-
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         """One Train call, phase-shifted so the loss pass shares the
         U-sweep's gather.
@@ -131,6 +111,7 @@ class SAFER2(SaferFamilyMixin, Recommender):
         gram = state.item_gramian
         dual, xi, key = state.dual_weight, state.xi, state.key
         eq_u, eq_v = state.eig_qu, state.eig_qv
+        loss = state.user_loss           # pd_iterations == 0 degenerates
         for t in range(cfg.pd_iterations):
             loss, pre = common.gather_and_losses(
                 v, dd.by_user, u, gram, dd.num_users, cfg.uobs_weight,
@@ -155,9 +136,8 @@ class SAFER2(SaferFamilyMixin, Recommender):
             v, qn = self._step_v(v, u, dd, dual, q_prev=eq_v)
             eq_v = qn if qn is not None else eq_v
             gram = v.T @ v
-            loss_out = loss
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
-                             user_loss=loss_out, dual_weight=dual, xi=xi,
+                             user_loss=loss, dual_weight=dual, xi=xi,
                              key=key, steps=state.steps + 1,
                              eig_qu=eq_u, eig_qv=eq_v)
 

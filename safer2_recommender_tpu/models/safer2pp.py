@@ -44,19 +44,6 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         logging.getLogger("safer2_recommender_tpu").info(
             "Xi:%s", float(self.state.xi))
 
-    def _blocks(self):
-        d, bs = self.cfg.dim, self.cfg.block_size
-        return [(s, min(s + bs, d)) for s in range(0, d, bs)]
-
-    def _user_reg(self) -> float:
-        return self.cfg.l2_reg * (1.0 + self.cfg.uobs_weight
-                                  * self.num_items)
-
-    def _item_reg(self, item_reg_vec, row_ids) -> jax.Array:
-        stat = item_reg_vec[jnp.minimum(row_ids, item_reg_vec.shape[0] - 1)]
-        return self.cfg.l2_reg * (
-            stat + self.cfg.alpha * self.cfg.uobs_weight * self.num_users)
-
     def _block_sweep_u(self, u, v, buckets, s, bs, dual):
         """``s`` may be a traced block offset (scanned blocks); ``bs``
         is the static block size."""
@@ -103,23 +90,14 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
             # (safer2pp.h:839-862).
             dual = smoothing.dual_weight(loss, state.xi, cfg.bandwidth,
                                          cfg.use_epanechnikov)
-            d, bs = cfg.dim, cfg.block_size
-            if d % bs == 0:
-                # Uniform blocks: one scanned {U, V} sweep body (the
-                # unrolled chain made dim-512 compiles take minutes).
-                def body(carry, s):
-                    cu, cv = carry
-                    cu = self._block_sweep_u(cu, cv, dd.by_user, s, bs,
-                                             dual)
-                    cv = self._block_sweep_v(cv, cu, dd, s, bs, dual)
-                    return (cu, cv), None
-                (u, v), _ = jax.lax.scan(body, (u, v),
-                                         jnp.arange(0, d, bs))
-            else:
-                for (s, e) in self._blocks():
-                    u = self._block_sweep_u(u, v, dd.by_user, s, e - s,
-                                            dual)
-                    v = self._block_sweep_v(v, u, dd, s, e - s, dual)
+
+            def body(carry, s, bs):
+                cu, cv = carry
+                cu = self._block_sweep_u(cu, cv, dd.by_user, s, bs, dual)
+                cv = self._block_sweep_v(cv, cu, dd, s, bs, dual)
+                return (cu, cv)
+
+            u, v = common.blockwise((u, v), cfg.dim, cfg.block_size, body)
             gram = v.T @ v
             loss = common.user_losses(u, v, gram, dd.by_user,
                                       dd.num_users, cfg.uobs_weight,
@@ -162,17 +140,8 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         v = state.item_emb
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         ones = jnp.ones((fold.n_pad,), jnp.float32)
-        d, bs = self.cfg.dim, self.cfg.block_size
-        if d % bs == 0:
-            offs = jnp.tile(jnp.arange(0, d, bs),
-                            self.cfg.eval_fold_in_epochs)
-            def body(cu, s):
-                return self._block_sweep_u(cu, v, fold.by_user, s, bs,
-                                           ones), None
-            ue, _ = jax.lax.scan(body, ue, offs)
-            return ue
-        for _ in range(self.cfg.eval_fold_in_epochs):
-            for (s, e) in self._blocks():
-                ue = self._block_sweep_u(ue, v, fold.by_user, s, e - s,
-                                         ones)
-        return ue
+        return common.blockwise(
+            ue, self.cfg.dim, self.cfg.block_size,
+            lambda cu, s, bs: self._block_sweep_u(cu, v, fold.by_user, s,
+                                                  bs, ones),
+            repeats=self.cfg.eval_fold_in_epochs)

@@ -53,6 +53,13 @@ def epanechnikov_cdf(u: jax.Array, h: float) -> jax.Array:
 
 
 def epanechnikov_loss(u: jax.Array, h: float, alpha: float) -> jax.Array:
+    # NOTE: the |uh| out-of-support term is gated on ``pos`` (uh > 1)
+    # ONLY — for uh < -1 the reference returns ell = 0 even though He et
+    # al. 2021 Remark 3.1 gives |uh| on BOTH tails. This replicates the
+    # reference exactly (safer2.h:636-647, `abs(uh) * pos`); the Armijo
+    # objective in the xi Newton step therefore shares the reference's
+    # left-tail discontinuity at u = -h. Pinned by
+    # tests/test_ops.py::test_epanechnikov_loss_matches_reference_tails.
     uh = u / h
     in_supp = (jnp.abs(uh) <= 1.0).astype(u.dtype)
     pos = (uh > 1.0).astype(u.dtype)

@@ -219,3 +219,16 @@ def test_use_cg_epoch_matches_exact():
                                atol=1e-4)
     np.testing.assert_allclose(embs[0][1], embs[1][1], rtol=1e-3,
                                atol=1e-4)
+
+
+def test_safer2_zero_pd_iterations_degenerates(tiny):
+    # --pd_iterations 0 must be a no-op epoch, not an UnboundLocalError.
+    import numpy as np
+
+    ds, dd = tiny
+    m = get_model("safer2", Config(dim=8, pd_iterations=0),
+                  ds.num_users, ds.num_items)
+    m.initialize(dd)
+    before = np.asarray(m.state.user_emb)
+    m.train_epoch(dd)
+    np.testing.assert_array_equal(np.asarray(m.state.user_emb), before)

@@ -423,3 +423,22 @@ def test_epoch_eig_refresh_wiring_dim256():
     b = qu.T @ g @ qu
     off = b - np.diag(np.diag(b))
     assert np.linalg.norm(off) / np.linalg.norm(g) < 0.2
+
+
+def test_epanechnikov_loss_matches_reference_tails():
+    # The reference's epanechnikov_loss (safer2.h:636-647) gates the
+    # out-of-support |u/h| term on `pos = uh > 1` ONLY: the LEFT tail
+    # (uh < -1) gets ell = 0, not |uh| as He et al. 2021 Remark 3.1
+    # would give. Pin both tails so the quirk stays replicated.
+    h, alpha = 0.5, 0.3
+    lin = (1.0 - alpha - 0.5)
+    # right tail: ell = |uh| -> loss = h/2*|u/h| + lin*u
+    u = jnp.float32(2.0)
+    np.testing.assert_allclose(
+        float(smoothing.epanechnikov_loss(u, h, alpha)),
+        0.5 * h * (2.0 / h) + lin * 2.0, rtol=1e-6)
+    # left tail: ell = 0 (the reference quirk) -> loss = lin*u only
+    u = jnp.float32(-2.0)
+    np.testing.assert_allclose(
+        float(smoothing.epanechnikov_loss(u, h, alpha)),
+        lin * -2.0, rtol=1e-6)
