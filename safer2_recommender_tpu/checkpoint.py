@@ -21,6 +21,17 @@ import numpy as np
 _log = logging.getLogger("safer2_recommender_tpu")
 
 
+def _field_dict(state) -> dict:
+    """Shallow {name: leaf} view of a dataclass state.
+
+    ``dataclasses.asdict`` deep-copies every leaf (a full device-buffer
+    copy of both embedding tables per save/restore at MSD scale); the
+    checkpoint only needs the references.
+    """
+    return {f.name: getattr(state, f.name)
+            for f in dataclasses.fields(state)}
+
+
 class CheckpointManager:
     """Save/restore MFState pytrees keyed by epoch."""
 
@@ -43,12 +54,11 @@ class CheckpointManager:
         if self._mgr is not None:
             self._mgr.save(
                 epoch, args=self._ocp.args.StandardSave(
-                    dataclasses.asdict(state)))
+                    _field_dict(state)))
             self._mgr.wait_until_finished()
         else:
             leaves = {
-                k: np.asarray(v)
-                for k, v in dataclasses.asdict(state).items()
+                k: np.asarray(v) for k, v in _field_dict(state).items()
             }
             np.savez(os.path.join(self.directory, f"state_{epoch}.npz"),
                      **leaves)
@@ -56,14 +66,22 @@ class CheckpointManager:
                 json.dump({"epoch": epoch}, f)
         _log.info("Saved checkpoint at epoch %d", epoch)
 
-    def latest_epoch(self) -> Optional[int]:
-        if self._mgr is not None:
-            return self._mgr.latest_step()
+    def _npz_epoch(self) -> Optional[int]:
         path = os.path.join(self.directory, "latest.json")
         if not os.path.exists(path):
             return None
         with open(path) as f:
             return json.load(f)["epoch"]
+
+    def latest_epoch(self) -> Optional[int]:
+        """Newest checkpoint across BOTH backends — a directory written
+        by the npz fallback must still resume on a machine where orbax
+        imports (and vice versa)."""
+        cands = [self._npz_epoch()]
+        if self._mgr is not None:
+            cands.append(self._mgr.latest_step())
+        cands = [c for c in cands if c is not None]
+        return max(cands) if cands else None
 
     def restore(self, template_state) -> Tuple[Optional[object], int]:
         """Restore the newest checkpoint shaped like ``template_state``.
@@ -73,8 +91,10 @@ class CheckpointManager:
         epoch = self.latest_epoch()
         if epoch is None:
             return None, 0
-        tpl = dataclasses.asdict(template_state)
-        if self._mgr is not None:
+        tpl = _field_dict(template_state)
+        in_orbax = (self._mgr is not None
+                    and epoch in (self._mgr.all_steps() or []))
+        if in_orbax:
             abstract = jax.tree_util.tree_map(
                 lambda x: jax.ShapeDtypeStruct(
                     x.shape, x.dtype,

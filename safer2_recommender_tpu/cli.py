@@ -68,6 +68,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cg_max_iterations", type=int, default=100)
     p.add_argument("--print_train_stats", type=int, default=1)
     p.add_argument("--print_evaluation_stats", type=int, default=0)
+    # accepted-but-unused, matching the reference exactly: its CLI11
+    # option binds no variable (run_model.cc:155) and nothing reads it
     p.add_argument("--print_test_results", type=int, default=0)
     p.add_argument("--print_residual_stats", type=int, default=0)
     p.add_argument("--print_var_stats", type=int, default=0)
@@ -191,8 +193,14 @@ def main(argv=None) -> int:
             else contextlib.nullcontext())
     step = max(1, args.epochs_per_dispatch)
     with prof:
-        for epoch in range(start_epoch, cfg.epochs, step):
+        epoch = start_epoch
+        while epoch < cfg.epochs:
             n = min(step, cfg.epochs - epoch)
+            if ckpt is not None and args.checkpoint_every:
+                # land a dispatch boundary on every checkpoint multiple
+                # (a chained dispatch cannot stop mid-scan to save)
+                k = args.checkpoint_every
+                n = min(n, k - epoch % k)
             with Timer() as t:
                 if n == 1:
                     model.train_epoch(dd)
@@ -205,6 +213,7 @@ def main(argv=None) -> int:
             if ckpt is not None and args.checkpoint_every and (
                     (epoch + n) % args.checkpoint_every == 0):
                 ckpt.save(model.state, epoch + n)
+            epoch += n
 
     log.info("Validation Results")
     evaluate(cfg.epochs)

@@ -143,9 +143,10 @@ def generate_splits(users: np.ndarray, items: np.ndarray, output_dir: str,
     vd_users = set(perm[n - 2 * h: n - h].tolist())
     te_users = set(perm[n - h:].tolist())
 
-    user_rank = {u: i for i, u in enumerate(perm.tolist())}
-    uid = np.fromiter((user_rank[u] for u in users.tolist()), np.int64,
-                      users.size)
+    # vectorized rank lookup: rank[perm[i]] = i (MSD is ~48M tuples;
+    # per-element dict lookups cost minutes of pure Python)
+    order = np.argsort(perm)
+    uid = order[np.searchsorted(perm[order], users)]
     in_vd = np.isin(users, list(vd_users))
     in_te = np.isin(users, list(te_users))
     in_tr = ~(in_vd | in_te)
@@ -154,12 +155,11 @@ def generate_splits(users: np.ndarray, items: np.ndarray, output_dir: str,
     tr_items = items[in_tr]
     first_idx = np.unique(tr_items, return_index=True)[1]
     train_item_keys = tr_items[np.sort(first_idx)]
-    item_rank = {s: i for i, s in enumerate(train_item_keys.tolist())}
     known = np.isin(items, train_item_keys)
     sid = np.full(items.size, -1, np.int64)
-    sid[known] = np.fromiter(
-        (item_rank[s] for s in items[known].tolist()), np.int64,
-        int(known.sum()))
+    iorder = np.argsort(train_item_keys)
+    sid[known] = iorder[np.searchsorted(train_item_keys[iorder],
+                                        items[known])]
 
     out = {}
     _write_csv(os.path.join(output_dir, "train.csv"),
@@ -198,7 +198,7 @@ def main(argv=None) -> int:
     base = args.dataset.removesuffix("-cv")
     users, items = load_raw(base, args.input)
     if args.dataset == "ml-1m-cv":
-        for seed in cv_seeds():
+        for seed in cv_seeds(args.seed):
             stats = generate_splits(
                 users, items, os.path.join(args.output_dir, str(seed)),
                 SPECS[base], seed=int(seed))

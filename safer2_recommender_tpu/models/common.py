@@ -18,6 +18,7 @@ Conventions:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import jax
@@ -269,7 +270,8 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
     # whole group.
     wood_bytes = sum(b.n_rows * b.width * (16 * dim + 12 * b.width)
                      for b, _ in wood)
-    overlap = wood_bytes <= FUSE_BUDGET_BYTES
+    overlap = (wood_bytes <= FUSE_BUDGET_BYTES
+               and not os.environ.get("FRT_NO_WOOD_OVERLAP"))
     for b, pre in wood:
         x = solve_one(b, pre)
         if not overlap:

@@ -26,9 +26,13 @@ _SO = os.path.join(os.path.dirname(__file__), "libfrt_io.so")
 
 
 def _compile() -> bool:
+    # Compile to a process-unique temp name and publish with an atomic
+    # rename: a concurrent process's staleness check must never dlopen
+    # a half-written .so.
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        "-o", _SO, _SRC, "-lpthread",
+        "-o", tmp, _SRC, "-lpthread",
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
@@ -37,6 +41,11 @@ def _compile() -> bool:
         return False
     if res.returncode != 0:
         _log.warning("native IO build failed: %s", res.stderr.decode()[:500])
+        return False
+    try:
+        os.replace(tmp, _SO)
+    except OSError as e:
+        _log.warning("native IO publish failed: %s", e)
         return False
     return True
 

@@ -60,36 +60,42 @@ void unmap_file(Mapped& m) {
   m.fd = -1;
 }
 
-// Number of '\n'-terminated records after the header line. A final record
-// without a trailing newline counts too.
-int64_t count_rows(const char* data, size_t size) {
-  const char* header_end =
-      static_cast<const char*>(memchr(data, '\n', size));
-  if (header_end == nullptr) return 0;
-  size_t off = (header_end - data) + 1;
+// THE record predicate. Counting and parsing must agree exactly on
+// what constitutes a record, or a parser can write more rows than its
+// caller allocated / its thread reserved (heap overflow). One shared
+// definition: a line is a record iff it contains any non-whitespace
+// byte. Whitespace-only lines are skipped everywhere (the reference's
+// getline+atoi loop would have turned them into phantom (0, 0)
+// interactions; we refuse to invent data).
+inline bool line_has_content(const char* p, const char* line_end) {
+  for (const char* q = p; q < line_end; ++q)
+    if (*q > ' ') return true;
+  return false;
+}
+
+// Count records in [begin, end) under the shared predicate.
+int64_t count_span(const char* begin, const char* end) {
   int64_t n = 0;
-  const char* p = data + off;
-  size_t rem = size - off;
-  while (rem > 0) {
-    const char* nl = static_cast<const char*>(memchr(p, '\n', rem));
-    if (nl == nullptr) {
-      // trailing record without newline (non-empty)
-      for (size_t i = 0; i < rem; ++i) {
-        if (p[i] > ' ') {
-          ++n;
-          break;
-        }
-      }
-      break;
-    }
-    if (nl != p) ++n;
-    rem -= (nl - p) + 1;
-    p = nl + 1;
+  for (const char* p = begin; p < end;) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    const char* line_end = (nl == nullptr) ? end : nl;
+    if (line_has_content(p, line_end)) ++n;
+    p = (nl == nullptr) ? end : nl + 1;
   }
   return n;
 }
 
+// Number of records after the header line. A final record without a
+// trailing newline counts too.
+int64_t count_rows(const char* data, size_t size) {
+  const char* header_end =
+      static_cast<const char*>(memchr(data, '\n', size));
+  if (header_end == nullptr) return 0;
+  return count_span(header_end + 1, data + size);
+}
+
 inline const char* parse_i32(const char* p, const char* end, int32_t* out) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;  // atoi-like
   int32_t v = 0;
   bool neg = false;
   if (p < end && *p == '-') {
@@ -105,24 +111,26 @@ inline const char* parse_i32(const char* p, const char* end, int32_t* out) {
 }
 
 // Parse records in [begin, end); begin must point at a record start.
-// Returns number parsed; writes to users/items starting at slot 0.
+// Returns number parsed, or -1 if more than ``cap`` records exist
+// (never writes past users[cap-1]). Record iteration mirrors
+// count_span exactly.
 int64_t parse_span(const char* begin, const char* end, int32_t* users,
-                   int32_t* items) {
+                   int32_t* items, int64_t cap) {
   const char* p = begin;
   int64_t n = 0;
   while (p < end) {
-    if (*p == '\n' || *p == '\r') {
-      ++p;
-      continue;
-    }
-    int32_t u = 0, v = 0;
-    p = parse_i32(p, end, &u);
-    if (p < end && *p == ',') ++p;
-    p = parse_i32(p, end, &v);
-    users[n] = u;
-    items[n] = v;
-    ++n;
     const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    const char* line_end = (nl == nullptr) ? end : nl;
+    if (line_has_content(p, line_end)) {
+      if (n >= cap) return -1;
+      int32_t u = 0, v = 0;
+      const char* q = parse_i32(p, line_end, &u);
+      if (q < line_end && *q == ',') ++q;
+      parse_i32(q, line_end, &v);
+      users[n] = u;
+      items[n] = v;
+      ++n;
+    }
     p = (nl == nullptr) ? end : nl + 1;
   }
   return n;
@@ -157,9 +165,9 @@ int64_t frt_csv_read(const char* path, int32_t* users, int32_t* items,
   unsigned hw = std::thread::hardware_concurrency();
   int num_threads = hw == 0 ? 1 : static_cast<int>(hw);
   if (n < (1 << 16) || num_threads <= 1) {
-    int64_t got = parse_span(body, end, users, items);
+    int64_t got = parse_span(body, end, users, items, n);
     unmap_file(m);
-    return got <= n ? got : -1;
+    return got;
   }
 
   // Split the byte range into num_threads spans aligned to record starts;
@@ -180,14 +188,7 @@ int64_t frt_csv_read(const char* path, int32_t* users, int32_t* items,
     std::vector<std::thread> ths;
     for (int t = 0; t < num_threads; ++t) {
       ths.emplace_back([&, t] {
-        int64_t c = 0;
-        for (const char* p = starts[t]; p < starts[t + 1];) {
-          if (*p > ' ') ++c;
-          const char* nl = static_cast<const char*>(
-              memchr(p, '\n', starts[t + 1] - p));
-          p = (nl == nullptr) ? starts[t + 1] : nl + 1;
-        }
-        counts[t] = c;
+        counts[t] = count_span(starts[t], starts[t + 1]);
       });
     }
     for (auto& th : ths) th.join();
@@ -203,7 +204,7 @@ int64_t frt_csv_read(const char* path, int32_t* users, int32_t* items,
     for (int t = 0; t < num_threads; ++t) {
       ths.emplace_back([&, t] {
         parse_span(starts[t], starts[t + 1], users + offsets[t],
-                   items + offsets[t]);
+                   items + offsets[t], counts[t]);
       });
     }
     for (auto& th : ths) th.join();

@@ -37,3 +37,54 @@ def test_restore_empty_dir(tmp_path, tiny):
     mgr = CheckpointManager(str(tmp_path / "empty"))
     restored, epoch = mgr.restore(m.state)
     assert restored is None and epoch == 0
+
+
+def test_npz_checkpoint_visible_to_orbax_manager(tmp_path, tiny):
+    # A directory written by the npz fallback must resume on a machine
+    # where orbax imports: latest_epoch consults both backends.
+    ds, dd = tiny
+    cfg = Config(dim=8)
+    m = get_model("ials", cfg, ds.num_users, ds.num_items)
+    m.initialize(dd)
+
+    mgr = CheckpointManager(str(tmp_path))
+    orbax_active = mgr._mgr is not None
+    # force the npz path regardless of orbax availability
+    mgr._mgr = None
+    mgr.save(m.state, epoch=7)
+
+    mgr2 = CheckpointManager(str(tmp_path))
+    assert (mgr2._mgr is not None) == orbax_active
+    restored, epoch = mgr2.restore(m.state)
+    assert epoch == 7
+    np.testing.assert_array_equal(np.asarray(restored.user_emb),
+                                  np.asarray(m.state.user_emb))
+
+
+def test_cli_checkpoint_cadence_with_chained_dispatch(tmp_path, tiny):
+    # --epochs_per_dispatch must land dispatch boundaries on every
+    # --checkpoint_every multiple (a chained scan cannot stop mid-run).
+    import os
+
+    from safer2_recommender_tpu.cli import main as cli_main
+
+    ds, _ = tiny
+    tr = str(tmp_path / "tr.csv")
+    with open(tr, "w") as f:
+        f.write("uid,sid\n")
+        f.writelines(f"{u},{i}\n" for u, i in
+                     zip(ds.user_ids.tolist(), ds.item_ids.tolist()))
+    ck = str(tmp_path / "ckpt")
+    rc = cli_main([
+        "--model_name", "ials", "--train_data", tr,
+        "--test_train_data", tr, "--test_test_data", tr,
+        "--dim", "4", "--epoch", "6", "--epochs_per_dispatch", "4",
+        "--checkpoint_dir", ck, "--checkpoint_every", "2"])
+    assert rc == 0
+    mgr = CheckpointManager(ck)
+    assert mgr.latest_epoch() == 6
+    # intermediate multiples were saved too (not just the final epoch)
+    if mgr._mgr is not None:
+        assert set(mgr._mgr.all_steps()) == {2, 4, 6}
+    else:
+        assert os.path.exists(os.path.join(ck, "state_4.npz"))
