@@ -119,7 +119,9 @@ def main() -> int:
     epoch_s = (t2 - t1) / (BENCH_EPOCHS - k1)
 
     num_train_users = int((dd.user_hist_size > 0).sum())
-    n_chips = jax.device_count()
+    # The model/data are built without a mesh, so training runs on ONE
+    # chip regardless of jax.device_count() — normalize by what ran.
+    n_chips = 1
     users_per_s_chip = num_train_users / epoch_s / n_chips
 
     base_ms = read_baseline_ms()

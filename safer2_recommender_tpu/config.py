@@ -63,10 +63,6 @@ class Config:
     # std::random_device (ials.h:48-49) and is non-reproducible by design;
     # we improve on that with explicit keys.
     seed: int = 0
-    # Matmul input dtype for the Gramian-assembly einsums. "float32" for
-    # strict numeric parity with the reference; "bfloat16" uses the MXU's
-    # native input precision (accumulation stays f32) for large dims.
-    assembly_dtype: str = "float32"
     # Number of eval users scored per device program (full-catalog matmul
     # chunking; keeps the [chunk, num_items] score matrix in memory bounds).
     eval_chunk: int = 1024

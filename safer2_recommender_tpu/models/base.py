@@ -27,6 +27,7 @@ from safer2_recommender_tpu.evaluation.metrics import (
     topk_metrics,
 )
 from safer2_recommender_tpu.models import common
+from safer2_recommender_tpu.ops import woodbury
 
 _log = logging.getLogger("safer2_recommender_tpu")
 
@@ -282,10 +283,12 @@ class Recommender:
 
 
 class SaferFamilyMixin:
-    """Shared SAFER-family regularizers (reference safer2.h:418-432,
-    erm_mf.h:384-395) — one home for the two formulas every family
-    member (erm_mf, cvar_mf, safer2, safer2pp) uses in its sweeps and
-    stats lines."""
+    """Shared SAFER-family machinery: the two regularizer formulas
+    (reference safer2.h:418-432, erm_mf.h:384-395) every family member
+    (erm_mf, cvar_mf, safer2, safer2pp) uses, plus the weighted
+    exact-solve sweeps and one-shot fold-in that erm_mf and safer2
+    share verbatim (cvar_mf overrides with gradient steps / closed-form
+    eval; safer2pp with blockwise sweeps)."""
 
     def _user_reg(self) -> float:
         # reference safer2.h:418-421
@@ -302,3 +305,62 @@ class SaferFamilyMixin:
         ur = jnp.full((dd.num_users,), self._user_reg(), jnp.float32)
         ir = self._item_reg(dd.item_reg, jnp.arange(dd.item_reg.shape[0]))
         return ur, ir
+
+    def _step_u(self, ue, item_emb, gramian, buckets, dual, pre_list=None,
+                q_prev=None):
+        """Weighted mean-normalized exact U-solves (reference
+        safer2.h:104-163 / erm_mf.h:91-151). Returns (new table, new
+        eigenbasis or None)."""
+        cfg = self.cfg
+        reg = self._user_reg()
+        eig = woodbury.maybe_eigh(gramian, cfg.dim, use_cg=cfg.use_cg,
+                                  q_prev=q_prev,
+                                  refresh_tol=cfg.eig_refresh_tol)
+
+        def params_fn(b, pre=None):
+            w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
+            return common.params_weighted_mean(
+                item_emb, b, jnp.full((b.n_rows,), reg, jnp.float32),
+                cfg.uobs_weight, w, dtype=self.asm_dtype, pre=pre)
+
+        out = common.solve_sweep(ue, buckets, params_fn, gramian,
+                                 eig=eig, use_cg=cfg.use_cg,
+                                 cg_tol=cfg.cg_error_tolerance,
+                                 cg_iters=cfg.cg_max_iterations,
+                                 pre_list=pre_list)
+        return out, (eig[0] if eig is not None else None)
+
+    def _step_v(self, v, user_emb, dd: DeviceData, dual, q_prev=None):
+        """Dual-weighted exact V-solves (reference safer2.h:166-221 /
+        erm_mf.h:153-210). The weighted Gramian U^T diag(z) U spans the
+        full table incl. id gaps (erm_mf.h:462-467) and is recomputed
+        every call — it cannot be cached like V^T V."""
+        cfg = self.cfg
+        w_gram = user_emb.T @ (user_emb * dual[:, None])
+        norm_dual = jnp.where(dd.user_hist_size > 0,
+                              dual / jnp.maximum(dd.user_hist_size, 1.0),
+                              0.0)
+
+        eig = woodbury.maybe_eigh(w_gram, cfg.dim, use_cg=cfg.use_cg,
+                                  q_prev=q_prev,
+                                  refresh_tol=cfg.eig_refresh_tol)
+
+        def params_fn(b):
+            reg = self._item_reg(dd.item_reg, b.row_ids)
+            return common.params_weighted_item(
+                user_emb, b, reg, cfg.uobs_weight, norm_dual,
+                dtype=self.asm_dtype)
+
+        out = common.solve_sweep(v, dd.by_item, params_fn, w_gram,
+                                 eig=eig, use_cg=cfg.use_cg,
+                                 cg_tol=cfg.cg_error_tolerance,
+                                 cg_iters=cfg.cg_max_iterations)
+        return out, (eig[0] if eig is not None else None)
+
+    def _fold_in(self, state: "MFState", fold: FoldInData) -> jax.Array:
+        """StepU with weight 1.0 (reference safer2.h:246-252,
+        erm_mf.h:234-244)."""
+        ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
+        ones = jnp.ones((fold.n_pad,), jnp.float32)
+        return self._step_u(ue, state.item_emb, state.item_gramian,
+                            fold.by_user, ones, q_prev=state.eig_qu)[0]

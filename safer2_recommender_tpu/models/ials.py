@@ -86,4 +86,5 @@ class IALS(Recommender):
         (reference ials.h:169-174)."""
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         return self._sweep(ue, state.item_emb, fold.by_user,
-                           self.num_items, q_prev=state.eig_qu)[0]
+                           self.num_items, gram=state.item_gramian,
+                           q_prev=state.eig_qu)[0]

@@ -23,11 +23,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
+from safer2_recommender_tpu.data.dataset import DeviceData
 from safer2_recommender_tpu.models import common
 from safer2_recommender_tpu.models.base import (MFState, Recommender,
                                                   SaferFamilyMixin)
-from safer2_recommender_tpu.ops import quantile, smoothing, woodbury
+from safer2_recommender_tpu.ops import quantile, smoothing
 
 
 class SAFER2(SaferFamilyMixin, Recommender):
@@ -39,53 +39,6 @@ class SAFER2(SaferFamilyMixin, Recommender):
         import logging
         logging.getLogger("safer2_recommender_tpu").info(
             "Xi:%s", float(self.state.xi))
-
-    def _step_u(self, ue, item_emb, gramian, buckets, dual, pre_list=None,
-                q_prev=None):
-        """Returns (new table, new eigenbasis or None)."""
-        cfg = self.cfg
-        reg = self._user_reg()
-        eig = woodbury.maybe_eigh(gramian, cfg.dim, use_cg=cfg.use_cg,
-                                  q_prev=q_prev,
-                                  refresh_tol=cfg.eig_refresh_tol)
-
-        def params_fn(b, pre=None):
-            w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
-            return common.params_weighted_mean(
-                item_emb, b, jnp.full((b.n_rows,), reg, jnp.float32),
-                cfg.uobs_weight, w, dtype=self.asm_dtype, pre=pre)
-
-        out = common.solve_sweep(ue, buckets, params_fn, gramian,
-                                 eig=eig, use_cg=cfg.use_cg,
-                                 cg_tol=cfg.cg_error_tolerance,
-                                 cg_iters=cfg.cg_max_iterations,
-                                 pre_list=pre_list)
-        return out, (eig[0] if eig is not None else None)
-
-    def _step_v(self, v, user_emb, dd: DeviceData, dual, q_prev=None):
-        cfg = self.cfg
-        # Dual-weighted Gramian over the full user table (safer2.h:504-509);
-        # recomputed every pd iteration — it cannot be cached like V^T V.
-        w_gram = user_emb.T @ (user_emb * dual[:, None])
-        norm_dual = jnp.where(dd.user_hist_size > 0,
-                              dual / jnp.maximum(dd.user_hist_size, 1.0),
-                              0.0)
-
-        eig = woodbury.maybe_eigh(w_gram, cfg.dim, use_cg=cfg.use_cg,
-                                  q_prev=q_prev,
-                                  refresh_tol=cfg.eig_refresh_tol)
-
-        def params_fn(b):
-            reg = self._item_reg(dd.item_reg, b.row_ids)
-            return common.params_weighted_item(
-                user_emb, b, reg, cfg.uobs_weight, norm_dual,
-                dtype=self.asm_dtype)
-
-        out = common.solve_sweep(v, dd.by_item, params_fn, w_gram,
-                                 eig=eig, use_cg=cfg.use_cg,
-                                 cg_tol=cfg.cg_error_tolerance,
-                                 cg_iters=cfg.cg_max_iterations)
-        return out, (eig[0] if eig is not None else None)
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         """One Train call, phase-shifted so the loss pass shares the
@@ -154,10 +107,3 @@ class SAFER2(SaferFamilyMixin, Recommender):
             return state.replace(user_loss=loss, steps=jnp.int32(0))
 
         self.state = _init(self.state)
-
-    def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
-        """StepU with weight 1.0 (reference safer2.h:246-252)."""
-        ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
-        ones = jnp.ones((fold.n_pad,), jnp.float32)
-        return self._step_u(ue, state.item_emb, state.item_gramian,
-                            fold.by_user, ones, q_prev=state.eig_qu)[0]

@@ -40,30 +40,38 @@ def cg_solve(a: jax.Array, b: jax.Array, *, tol: float = 1e-10,
              max_iters: int = 100, ridge=None) -> jax.Array:
     """Batched conjugate gradient (reference --use_cg path, ials.h:133-138).
 
-    Runs a fixed-trip-count loop with per-system convergence masking
-    (compiler-friendly control flow instead of data-dependent early exit).
-    Eigen's tolerance is relative: ||r|| <= tol * ||b||. ``ridge`` [N]
-    adds reg * I inside the matvec (never materialized).
+    Per-system convergence masking with a whole-batch early exit
+    (``lax.while_loop``: static shapes, data-dependent trip count).
+    Eigen's tolerance is relative — ||r||^2 <= tol^2 ||b||^2; converged
+    systems freeze while the rest iterate, and the loop ends when every
+    system has converged or at max_iters. ``ridge`` [N] adds reg * I
+    inside the matvec (never materialized).
     """
-    def body(state, _):
-        x, r, p, rs = state
+    b_norm2 = jnp.sum(b * b, axis=-1)
+    thresh = (tol * tol) * b_norm2
+
+    def cond(state):
+        i, _, _, _, rs = state
+        return (i < max_iters) & jnp.any(rs > thresh)
+
+    def body(state):
+        i, x, r, p, rs = state
         ap = jnp.einsum("nde,ne->nd", a, p)
         if ridge is not None:
             ap = ap + ridge[:, None] * p
         denom = jnp.sum(p * ap, axis=-1)
-        alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-30), 0.0)
+        live = (rs > thresh) & (denom > 0)   # freeze converged systems
+        alpha = jnp.where(live, rs / jnp.maximum(denom, 1e-30), 0.0)
         x = x + alpha[:, None] * p
         r = r - alpha[:, None] * ap
-        rs_new = jnp.sum(r * r, axis=-1)
-        beta = jnp.where(rs > 0, rs_new / jnp.maximum(rs, 1e-30), 0.0)
-        p = r + beta[:, None] * p
-        return (x, r, p, rs_new), None
+        rs_new = jnp.where(live, jnp.sum(r * r, axis=-1), rs)
+        beta = jnp.where(live, rs_new / jnp.maximum(rs, 1e-30), 0.0)
+        p = jnp.where(live[:, None], r + beta[:, None] * p, p)
+        return i + 1, x, r, p, rs_new
 
-    b_norm2 = jnp.sum(b * b, axis=-1)
     x0 = jnp.zeros_like(b)
-    (x, r, _, rs), _ = jax.lax.scan(
-        body, (x0, b, b, b_norm2), None, length=max_iters)
-    del r, rs
+    _, x, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x0, b, b, b_norm2))
     return x
 
 

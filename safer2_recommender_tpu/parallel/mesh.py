@@ -58,11 +58,17 @@ def put(x, sharding):
 
 
 def shard_pytree_rows(tree, mesh: Optional[Mesh]):
-    """Shard every array leaf of a pytree along its leading axis."""
+    """Shard every array leaf of a pytree along its leading axis;
+    scalar (0-d) leaves replicate."""
     if mesh is None:
         return jax.device_put(tree)
-    return jax.tree_util.tree_map(
-        lambda x: put(x, row_sharding(mesh, np.ndim(x))), tree)
+
+    def _shard(x):
+        nd = np.ndim(x)
+        sh = row_sharding(mesh, nd) if nd else replicated(mesh)
+        return put(x, sh)
+
+    return jax.tree_util.tree_map(_shard, tree)
 
 
 def num_shards(mesh: Optional[Mesh]) -> int:
