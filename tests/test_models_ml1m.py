@@ -232,3 +232,24 @@ def test_safer2_zero_pd_iterations_degenerates(tiny):
     before = np.asarray(m.state.user_emb)
     m.train_epoch(dd)
     np.testing.assert_array_equal(np.asarray(m.state.user_emb), before)
+
+
+def test_chained_epochs_match_per_epoch_training(tiny):
+    # train_epochs (one donated lax.scan dispatch) must produce exactly
+    # the same state trajectory as repeated train_epoch calls.
+    import numpy as np
+
+    ds, dd = tiny
+    cfg = Config(dim=8, bandwidth=0.3)
+    m1 = get_model("safer2", cfg, ds.num_users, ds.num_items)
+    m2 = get_model("safer2", cfg, ds.num_users, ds.num_items)
+    m1.initialize(dd)
+    m2.initialize(dd)
+    for _ in range(3):
+        m1.train_epoch(dd)
+    m2.train_epochs(dd, 3)
+    np.testing.assert_allclose(np.asarray(m1.state.user_emb),
+                               np.asarray(m2.state.user_emb), atol=1e-6)
+    np.testing.assert_allclose(float(m1.state.xi), float(m2.state.xi),
+                               atol=1e-6)
+    m2.train_epochs(dd, 2)  # donated buffers reused across dispatches
