@@ -103,3 +103,34 @@ def test_pallas_leaf_partitions_over_batch(mesh, monkeypatch):
     # the partitioned op must not force a gather of the batch
     txt = jitted.lower(a_s, b_s).compile().as_text()
     assert "all-gather" not in txt
+
+
+def test_sharded_evaluation_matches_single_device(tiny, mesh):
+    # fold-in + full-catalog scoring + metrics under a sharded fold must
+    # reproduce the single-device evaluation numbers.
+    from safer2_recommender_tpu import Config, FoldInData, get_model
+    from safer2_recommender_tpu.data.dataset import Dataset
+
+    ds, _ = tiny
+    tr = Dataset(ds.user_ids[::2], ds.item_ids[::2])
+    te = Dataset(ds.user_ids[1::2], ds.item_ids[1::2])
+    cfg = Config(dim=8, bandwidth=0.3)
+
+    dd1 = DeviceData.build(ds)
+    m1 = get_model("safer2", cfg, ds.num_users, ds.num_items)
+    m1.initialize(dd1)
+    m1.train_epoch(dd1)
+    f1 = FoldInData.build(tr, te, num_items=ds.num_items)
+    r1 = m1.evaluate_dataset(f1)
+
+    dd2 = DeviceData.build(ds, mesh=mesh)
+    m2 = get_model("safer2", cfg, ds.num_users, ds.num_items, mesh=mesh)
+    m2.initialize(dd2)
+    m2.train_epoch(dd2)
+    f2 = FoldInData.build(tr, te, num_items=ds.num_items, mesh=mesh)
+    r2 = m2.evaluate_dataset(f2)
+
+    np.testing.assert_allclose(r1.mean_ndcg(), r2.mean_ndcg(),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(r1.mean_recall(), r2.mean_recall(),
+                               rtol=5e-3, atol=5e-4)
