@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--print_residual_stats", type=int, default=0)
     p.add_argument("--print_var_stats", type=int, default=0)
     # TPU-native additions
+    p.add_argument("--distributed", type=int, default=0,
+                   help="call jax.distributed.initialize() for multi-host "
+                        "runs (TPU pods auto-discover the coordinator); "
+                        "combine with --mesh 0 to span all global devices")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard over this many devices (0 = single device)")
     p.add_argument("--seed", type=int, default=0)
@@ -123,6 +127,14 @@ def main(argv=None) -> int:
 
     import jax
 
+    if args.distributed:
+        # Must run before first backend use; on TPU pods the coordinator
+        # and process ids auto-discover from the runtime metadata.
+        jax.distributed.initialize()
+        log.info("distributed: process %d/%d, %d global devices",
+                 jax.process_index(), jax.process_count(),
+                 len(jax.devices()))
+
     enable_compilation_cache()
 
     from safer2_recommender_tpu.data.dataset import (
@@ -153,6 +165,8 @@ def main(argv=None) -> int:
     mesh = None
     if args.mesh:
         mesh = get_mesh(jax.devices()[: args.mesh])
+    elif args.distributed:
+        mesh = get_mesh()          # all global devices across hosts
 
     train = Dataset.from_csv(args.train_data)
     test_tr = Dataset.from_csv(args.test_train_data)

@@ -51,9 +51,21 @@ def replicated(mesh: Optional[Mesh]) -> Optional[NamedSharding]:
 
 
 def put(x, sharding):
-    """device_put honoring ``sharding=None`` (single-device)."""
+    """device_put honoring ``sharding=None`` (single-device).
+
+    When the sharding spans multiple processes (a multi-host mesh from
+    ``jax.distributed.initialize``), ``jax.device_put`` cannot target
+    non-addressable devices; every process holds the same full host
+    array (each host parses the full CSV), so the global array is
+    assembled from each process's addressable shards instead.
+    """
     if sharding is None:
         return jax.device_put(x)
+    if jax.process_count() > 1 and any(
+            d.process_index != jax.process_index()
+            for d in sharding.mesh.devices.flat):
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
     return jax.device_put(x, sharding)
 
 
