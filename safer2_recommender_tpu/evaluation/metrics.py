@@ -68,6 +68,20 @@ def topk_metrics(scores: jax.Array, excl: jax.Array, gt: jax.Array,
     return jnp.stack(recalls, axis=1), jnp.stack(ndcgs, axis=1)
 
 
+def topk_ids(scores: jax.Array, excl: jax.Array, k: int) -> jax.Array:
+    """Top-k item ids for a chunk of users with training history masked
+    out (the serving-path counterpart of ``topk_metrics``).
+
+    scores [B, I]; excl [B, H] history ids (padded with I, dropped).
+    """
+    b, num_items = scores.shape
+    neg = jnp.finfo(scores.dtype).min
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], excl.shape)
+    masked = scores.at[rows.reshape(-1), excl.reshape(-1)].set(
+        neg, mode="drop")
+    return jax.lax.top_k(masked, min(k, num_items))[1]
+
+
 def metric_cvar(values: np.ndarray,
                 alpha_list: Sequence[float]) -> np.ndarray:
     """Lower-tail running mean at positions floor(n*alpha).

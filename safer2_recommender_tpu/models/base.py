@@ -24,6 +24,7 @@ from safer2_recommender_tpu.evaluation.metrics import (
     DEFAULT_ALPHA_LIST,
     DEFAULT_K_LIST,
     EvaluationResult,
+    topk_ids,
     topk_metrics,
 )
 from safer2_recommender_tpu.models import common
@@ -230,6 +231,43 @@ class Recommender:
             recall=recall[keep],
             ndcg=ndcg[keep],
         )
+
+    def recommend(self, histories, k: int = 10):
+        """Serve top-k recommendations for new users.
+
+        ``histories`` is a Dataset of (user, item) interactions (or a
+        pre-built FoldInData); each user's embedding is folded in from
+        their history with item embeddings frozen — the same
+        strong-generalization fold-in the evaluation protocol uses —
+        then the full catalog is scored (history masked out) and the
+        top-k item ids returned. Beyond-reference capability: the
+        reference can only *score* held-out users, never emit
+        recommendations.
+
+        Returns ``(user_ids [n], item_ids [n, k])`` numpy arrays, rows
+        aligned to the distinct users of ``histories``.
+        """
+        from safer2_recommender_tpu.data.dataset import Dataset
+
+        if isinstance(histories, Dataset):
+            users = np.unique(np.asarray(histories.user_ids))
+            empty = Dataset(np.zeros(0, np.int32), np.zeros(0, np.int32))
+            fold = FoldInData.build(histories, empty,
+                                    num_items=self.num_items,
+                                    mesh=self.mesh)
+        else:
+            fold = histories
+            users = np.arange(int(np.asarray(fold.hist_size > 0).sum()))
+        ue = self._fold_in_jit(self.state, fold)
+
+        @jax.jit
+        def _score(ue_, item_emb, excl):
+            scores = jnp.matmul(ue_, item_emb.T,
+                                precision=jax.lax.Precision.HIGHEST)
+            return topk_ids(scores, excl, k)
+
+        ids = np.asarray(_score(ue, self.state.item_emb, fold.excl))
+        return users, ids[: users.size]
 
     def _eval_metrics(self, ue: jax.Array, item_emb: jax.Array,
                       fold: FoldInData, *, k_list: Tuple[int, ...]):

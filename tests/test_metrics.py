@@ -62,3 +62,29 @@ def test_metric_cvar_is_lower_tail_mean():
     got = metric_cvar(vals, (0.1,))[0]
     s = np.sort(vals)
     assert np.isclose(got, s[:101].mean(), rtol=1e-5)
+
+
+def test_recommend_serving_api(tiny):
+    # recommend() folds in new users and returns history-masked top-k
+    # item ids aligned to the distinct users of the histories.
+    import numpy as np
+
+    from safer2_recommender_tpu import Config, Dataset, get_model
+
+    ds, dd = tiny
+    m = get_model("safer2", Config(dim=8, bandwidth=0.3),
+                  ds.num_users, ds.num_items)
+    m.initialize(dd)
+    m.train_epoch(dd)
+
+    hist = Dataset(ds.user_ids[:500], ds.item_ids[:500])
+    users, recs = m.recommend(hist, k=7)
+    assert users.shape[0] == np.unique(np.asarray(hist.user_ids)).size
+    assert recs.shape == (users.shape[0], 7)
+    assert (recs >= 0).all() and (recs < ds.num_items).all()
+    # a user's own history never appears in their recommendations
+    by_user = {}
+    for u, i in zip(np.asarray(hist.user_ids), np.asarray(hist.item_ids)):
+        by_user.setdefault(int(u), set()).add(int(i))
+    for row, u in enumerate(users):
+        assert not (set(recs[row].tolist()) & by_user[int(u)])
