@@ -191,8 +191,14 @@ def _build_buckets(
     """
     if sorted_rows.size == 0:
         return ()
-    uniq, starts, counts = np.unique(
-        sorted_rows, return_index=True, return_counts=True)
+    # rows are already sorted: run-length detection instead of
+    # np.unique (which re-sorts — ~6s of the MSD-scale build time)
+    change = np.empty(sorted_rows.size, dtype=bool)
+    change[0] = True
+    np.not_equal(sorted_rows[1:], sorted_rows[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    uniq = sorted_rows[starts]
+    counts = np.diff(np.append(starts, sorted_rows.size))
     max_len = int(counts.max())
     edges = _bucket_edges(max_len, min_bucket, growth)
 
@@ -315,12 +321,13 @@ class DeviceData:
             i_rows, i_cols, num_items,
             min_bucket, row_multiple, growth, max_rows, max_tuples)
 
-        uh = np.zeros(num_users, dtype=np.float32)
-        np.add.at(uh, ds.user_ids, 1.0)
-        ih = np.zeros(num_items, dtype=np.float32)
-        np.add.at(ih, ds.item_ids, 1.0)
-        ireg = np.zeros(num_items, dtype=np.float32)
-        np.add.at(ireg, ds.item_ids, 1.0 / uh[ds.user_ids])
+        # bincount ≈ 10x faster than np.add.at at MSD scale
+        uh = np.bincount(ds.user_ids,
+                         minlength=num_users).astype(np.float32)
+        ih = np.bincount(ds.item_ids,
+                         minlength=num_items).astype(np.float32)
+        ireg = np.bincount(ds.item_ids, weights=1.0 / uh[ds.user_ids],
+                           minlength=num_items).astype(np.float32)
 
         dd = cls(
             by_user=by_user,
