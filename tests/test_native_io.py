@@ -64,3 +64,31 @@ def test_multithreaded_path_with_space_prefixed_line(tmp_path):
     n, got, u, i = _read(tmp_path, "uid,sid\n" + rows + "\n")
     assert (n, got) == (70000, 70000)
     assert u[40000] == 40000 % 97 and u[69999] == 69999 % 97
+
+
+def test_fuzz_against_python_reference(tmp_path):
+    # Randomized differential test: arbitrary mixes of CRLF, blank and
+    # whitespace-only lines, leading spaces, and missing final newline
+    # must parse to exactly what a Python reference parse produces.
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        lines = ["uid,sid"]
+        expect = []
+        for _ in range(int(rng.integers(1, 200))):
+            r = rng.random()
+            if r < 0.1:
+                lines.append("")
+            elif r < 0.2:
+                lines.append(" \t ")
+            else:
+                u, i = int(rng.integers(0, 5000)), int(rng.integers(0, 5000))
+                pad = " " * int(rng.integers(0, 3))
+                lines.append(f"{pad}{u},{pad}{i}")
+                expect.append((u, i))
+        sep = "\r\n" if trial % 3 == 0 else "\n"
+        content = sep.join(lines)
+        if trial % 2 == 0:
+            content += sep
+        n, got, u, i = _read(tmp_path, content)
+        assert n == got == len(expect), (trial, n, got, len(expect))
+        assert list(zip(u.tolist(), i.tolist())) == expect, trial
