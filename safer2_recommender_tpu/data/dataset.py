@@ -87,7 +87,8 @@ def _read_csv_python(path: str) -> Tuple[np.ndarray, np.ndarray]:
         return (df[cols[0]].to_numpy(np.int32),
                 df[cols[1]].to_numpy(np.int32))
     except ImportError:
-        arr = np.loadtxt(path, dtype=np.int32, delimiter=",", skiprows=1)
+        arr = np.loadtxt(path, dtype=np.int32, delimiter=",", skiprows=1,
+                         ndmin=2)
         return arr[:, 0].astype(np.int32), arr[:, 1].astype(np.int32)
 
 
@@ -108,11 +109,16 @@ class Dataset:
         self.max_item = int(item_ids.max()) if self.nnz else -1
         self.num_users = self.max_user + 1
         self.num_items = self.max_item + 1
+        # bincount>0 beats np.unique's O(n log n) re-sort for the
+        # distinct counts (several seconds at MSD scale)
         _log.info(
             "max_user=%d\tmax_item=%d\tdistinct user=%d\tdistinct item=%d"
             "\tnum_tuples=%d",
             self.max_user, self.max_item,
-            len(np.unique(self.user_ids)), len(np.unique(self.item_ids)),
+            int((np.bincount(self.user_ids,
+                             minlength=self.num_users) > 0).sum()),
+            int((np.bincount(self.item_ids,
+                             minlength=self.num_items) > 0).sum()),
             self.nnz,
         )
 
@@ -404,13 +410,15 @@ class FoldInData:
         uniq = np.unique(tr.user_ids)
         n_eval = uniq.size
         compact_u = np.searchsorted(uniq, tr.user_ids).astype(np.int32)
+        n_pad = _round_up(max(n_eval, 1), max(chunk, row_multiple))
 
         u_rows, u_cols = _csr_views(compact_u, tr.item_ids)
+        # The padded-row sentinel must be out of bounds of the PADDED
+        # [n_pad, dim] fold-in table (not just past n_eval), or padded
+        # rows' garbage solves would scatter into real table rows.
         by_user = _build_buckets(
-            u_rows, u_cols, n_eval,
+            u_rows, u_cols, n_pad,
             min_bucket, row_multiple, growth, max_rows, max_tuples)
-
-        n_pad = _round_up(max(n_eval, 1), max(chunk, row_multiple))
 
         counts = np.bincount(compact_u, minlength=n_eval)
         hmax = int(counts.max()) if n_eval else 1

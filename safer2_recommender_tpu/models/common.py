@@ -650,9 +650,11 @@ def gather_and_losses(table_other: jax.Array, buckets, probe_table,
     """
     dim = table_other.shape[1]
     bytes_per = 2 if dtype is not None else 4
-    total = sum(b.n_rows * b.width for b in buckets) * dim * bytes_per
-    keep = total <= budget_bytes and not any(
-        assemble.is_wide(b, dim) for b in buckets)
+    # Wide (streamed) buckets never keep slabs; they don't disable the
+    # fusion for everyone else, they just get a None pre entry.
+    total = sum(b.n_rows * b.width for b in buckets
+                if not assemble.is_wide(b, dim)) * dim * bytes_per
+    keep = total <= budget_bytes
     out = jnp.zeros((num_rows,), jnp.float32)
     pre = [] if keep else None
 
@@ -673,19 +675,20 @@ def gather_and_losses(table_other: jax.Array, buckets, probe_table,
         return loss, emb, mask
 
     for g in group_same_shape(buckets):
+        g_wide = assemble.is_wide(g, dim)
         if isinstance(g, BucketStack):
             def body(o, b):
                 loss, emb, mask = piece(tie_bucket(b, o))
                 o = assemble.scatter_vector(o, b.row_ids, loss)
-                return o, ((emb, mask) if keep else 0)
+                return o, ((emb, mask) if (keep and not g_wide) else 0)
             out, ys = jax.lax.scan(body, out, g.stack)
             if keep:
-                pre.append(ys)
+                pre.append(None if g_wide else ys)
         else:
             loss, emb, mask = piece(tie_bucket(g, out))
             out = assemble.scatter_vector(out, g.row_ids, loss)
             if keep:
-                pre.append((emb, mask))
+                pre.append(None if g_wide else (emb, mask))
     return out, pre
 
 

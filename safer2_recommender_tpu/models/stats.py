@@ -45,8 +45,13 @@ def loss_decomposition(
     from safer2_recommender_tpu.ops import assemble
 
     def body(acc, b, _):
+        u = user_emb[b.row_ids]
+        if assemble.is_wide(b, item_emb.shape[1]):
+            # zipf-head buckets stream (the full [N, L, d] gather this
+            # used to do OOMed MSD-scale runs at the first stats line)
+            return acc + jnp.sum(assemble.wide_obs(item_emb, b, u))
         emb, mask = assemble.gather_history(item_emb, b)
-        p = assemble.rowwise_dot(emb, user_emb[b.row_ids])
+        p = assemble.rowwise_dot(emb, u)
         return acc + jnp.sum(jnp.square(p - 1.0) * mask)
 
     loss_observed = common.sweep_apply(dd.by_user, None,

@@ -101,6 +101,13 @@ def _wide_chunks(table: jax.Array, vec: Optional[jax.Array],
     chunk (``wt_extra`` is None when ``vec`` is None)."""
     n, l = bucket.col_ids.shape
     w = min(WIDE_CHUNK, l)
+    # Shrink the chunk width until one chunk's gathered slab actually
+    # fits the budget: a bucket with dim < width <= WIDE_CHUNK can
+    # trip is_wide while a single full-width "chunk" would materialize
+    # the entire slab (no streaming at all).
+    d_aug = table.shape[1] + (0 if vec is None else 1)
+    while w > 256 and n * w * d_aug * 4 > WIDE_SLAB_BYTES:
+        w = (w + 1) // 2
     c = -(-l // w)
     cols = bucket.col_ids
     if c * w != l:

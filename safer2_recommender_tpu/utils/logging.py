@@ -27,6 +27,9 @@ def setup(level: int = logging.INFO) -> logging.Logger:
             "%(levelname).1s%(asctime)s %(name)s] %(message)s",
             datefmt="%m%d %H:%M:%S"))
         log.addHandler(h)
+    # our handler owns these lines; propagating to a configured root
+    # logger would emit every line twice in embedding applications
+    log.propagate = False
     log.setLevel(level)
     return log
 

@@ -199,3 +199,34 @@ def test_eval_chunk_need_not_divide_fold_padding(tiny):
     m.train_epoch(dd)
     res = m.evaluate_dataset(fold)
     assert res.recall.shape[0] > 0
+
+
+def test_loss_decomposition_streams_wide_buckets(monkeypatch):
+    # --print_train_stats at MSD scale used to materialize the full
+    # [N, L, d] slab per bucket (OOM); the wide path must stream and
+    # produce the same observed-loss total.
+    from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
+    from safer2_recommender_tpu.models import stats
+    import safer2_recommender_tpu.ops.assemble as assemble
+
+    rng = np.random.default_rng(3)
+    hot = np.stack([np.zeros(700, dtype=np.int64), np.arange(700)], 1)
+    tail = np.stack([rng.integers(1, 60, 4000),
+                     rng.integers(0, 700, 4000)], 1)
+    pairs = np.unique(np.concatenate([hot, tail]), axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    dd = DeviceData.build(ds)
+    m = get_model("ials", Config(dim=16), ds.num_users, ds.num_items)
+    m.initialize(dd)
+
+    def decomp():
+        ur, ir = m._reg_vectors(dd)
+        return [float(v) for v in stats.loss_decomposition(
+            m.state.user_emb, m.state.item_emb, m.state.user_loss, dd,
+            ur, ir, m.cfg.uobs_weight, loss_is_user_sum=False)]
+
+    dense = decomp()
+    monkeypatch.setattr(assemble, "WIDE_SLAB_BYTES", 1)
+    monkeypatch.setattr(assemble, "WIDE_CHUNK", 256)
+    wide = decomp()
+    np.testing.assert_allclose(wide, dense, rtol=2e-4)
