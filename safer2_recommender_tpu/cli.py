@@ -125,7 +125,15 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     log = setup()
 
+    import os as _os
+
     import jax
+
+    # On hosts whose sitecustomize pins an accelerator plugin at
+    # interpreter start (the tunneled-TPU images), JAX_PLATFORMS is
+    # ignored; FRT_PLATFORM=cpu is the working override.
+    if _os.environ.get("FRT_PLATFORM"):
+        jax.config.update("jax_platforms", _os.environ["FRT_PLATFORM"])
 
     if args.distributed:
         # Must run before first backend use; on TPU pods the coordinator
