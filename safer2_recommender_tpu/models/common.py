@@ -125,6 +125,35 @@ def group_same_shape(buckets):
     return out
 
 
+def assemble_rotated(p: SolveParams, eig) -> Tuple[jax.Array, jax.Array,
+                                                   jax.Array]:
+    """Direct normal equations in the shared Gramian's eigenbasis.
+
+    With G = Q diag(lam) Q^T (the decomposition the Woodbury path
+    already computes once per sweep), rotating the gathered histories
+    once (E_rot = E @ Q, one plain MXU matmul over rows that would be
+    assembled anyway) makes the whole c1*G term DIAGONAL:
+
+        Q^T A Q = (E_rot)^T diag(wt) E_rot + diag(c0 + c1*lam)
+
+    so it rides the solver's lazy diagonal shift as a [N, d] vector
+    ridge instead of a full memory-bound broadcast-add pass over the
+    [N, d, d] systems (~4 ms/epoch at dim 512). Solve the rotated
+    system, then rotate the solution back: x = y @ Q^T.
+
+    Returns (a_rot, rhs_rot, ridge [N, d]).
+    """
+    q, lam = eig
+    emb_rot = jax.lax.dot_general(
+        p.emb, q.astype(p.emb.dtype),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(p.emb.dtype)
+    a = assemble.row_gramians(emb_rot, col_weight=p.wt)
+    rhs = assemble.row_sums(emb_rot, col_weight=p.r)
+    ridge = p.c0[:, None] + p.c1[:, None] * lam[None, :]
+    return a, rhs, ridge
+
+
 def assemble_from_params(p: SolveParams, gram: jax.Array
                          ) -> Tuple[jax.Array, jax.Array]:
     """Direct normal equations from the shared parameterization:
@@ -223,10 +252,21 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
     def is_wood(g) -> bool:
         return eig is not None and woodbury.applicable(g.width, dim)
 
+    rotate = (eig is not None and not use_cg
+              and not os.environ.get("FRT_NO_ROTATE"))
+
+    def unrotate(y):
+        return jax.lax.dot_general(
+            y, eig[0], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
     def solve_one(b, pre):
         p = make(b, pre)
         if is_wood(b):
             return woodbury.solve(p, *eig)
+        if rotate and p.wide is None:
+            a, rhs, ridge = assemble_rotated(p, eig)
+            return unrotate(solve.solve(a, rhs, ridge=ridge))
         a, rhs = assemble_from_params(p, gram)
         return solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
                            max_iters=cg_iters, ridge=p.c0)
@@ -283,16 +323,24 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
     pres = {id(b): p for b, p in direct}
     for group in _solve_groups([b for b, _ in direct], dim):
         ps = [make(b, pres[id(b)]) for b in group]
-        systems = [assemble_from_params(p, gram) for p in ps]
+        g_rot = rotate and all(p.wide is None for p in ps)
+        if g_rot:
+            systems = [assemble_rotated(p, eig) for p in ps]
+            ridge = (systems[0][2] if len(group) == 1 else
+                     jnp.concatenate([s[2] for s in systems], axis=0))
+        else:
+            systems = [assemble_from_params(p, gram) for p in ps]
+            ridge = (ps[0].c0 if len(group) == 1 else
+                     jnp.concatenate([p.c0 for p in ps], axis=0))
         if len(group) == 1:
-            a, rhs = systems[0]
-            ridge = ps[0].c0
+            a, rhs = systems[0][0], systems[0][1]
         else:
             a = jnp.concatenate([s[0] for s in systems], axis=0)
             rhs = jnp.concatenate([s[1] for s in systems], axis=0)
-            ridge = jnp.concatenate([p.c0 for p in ps], axis=0)
-        x = solve.solve(a, rhs, use_cg=use_cg, tol=cg_tol,
+        x = solve.solve(a, rhs, use_cg=use_cg and not g_rot, tol=cg_tol,
                         max_iters=cg_iters, ridge=ridge)
+        if g_rot:
+            x = unrotate(x)
         token, ftoken = bump(x)
         ofs = 0
         for b in group:

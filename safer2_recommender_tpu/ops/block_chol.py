@@ -65,7 +65,9 @@ def _next_pow2(x: int) -> int:
 
 
 def _leaf_kernel(blk_ref, ridge_ref, inv_ref, *, r: int):
-    """inv(chol(blk + diag(ridge))) for a lane-major [r, r, NL] tile.
+    """inv(chol(blk + diag(ridge))) for a lane-major [r, r, NL] tile;
+    ``ridge`` is [r, NL] (a full per-diagonal-element shift — the scalar
+    per-system case arrives pre-broadcast).
 
     Layout is (row, col, batch): the batch rides the 128-wide lane
     dimension, so the per-column masked updates waste nothing to tile
@@ -90,7 +92,7 @@ def _leaf_kernel(blk_ref, ridge_ref, inv_ref, *, r: int):
     """
     row_i = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)      # [r, 1]
 
-    ridge = ridge_ref[:]                                        # [1, NL]
+    ridge = ridge_ref[:]                                        # [r, NL]
     blk = blk_ref[:]
     inv = jnp.zeros_like(blk)
     for j in range(r):
@@ -100,7 +102,7 @@ def _leaf_kernel(blk_ref, ridge_ref, inv_ref, *, r: int):
         lt = (row_i < j).astype(jnp.float32)
         keep = 1.0 - oh
         # --- Cholesky column j (static slice; rows >= j kept) ---
-        colv = blk[:, j, :] + oh * ridge                        # [r, NL]
+        colv = blk[:, j, :] + oh * ridge[j]                     # [r, NL]
         piv = colv[j:j + 1, :]                                  # [1, NL]
         inv_piv = jax.lax.rsqrt(jnp.maximum(piv, 1e-30))
         col = colv * inv_piv * below
@@ -117,7 +119,7 @@ def _leaf_kernel(blk_ref, ridge_ref, inv_ref, *, r: int):
 
 def _leaf_lane(at: jax.Array, ridge: jax.Array) -> jax.Array:
     """Leaf on a lane-major [r, r, N] batch (N a multiple of _LEAF_LANES).
-    ``ridge`` is [1, N]."""
+    ``ridge`` is [r, N] (per diagonal element)."""
     r, _, n = at.shape
     nl = _LEAF_LANES
     return pl.pallas_call(
@@ -125,7 +127,7 @@ def _leaf_lane(at: jax.Array, ridge: jax.Array) -> jax.Array:
         grid=(n // nl,),
         in_specs=[pl.BlockSpec((r, r, nl), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, nl), lambda i: (0, i),
+                  pl.BlockSpec((r, nl), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((r, r, nl), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
@@ -192,16 +194,16 @@ _LANE_MAX = 64
 
 def _rec_lane(at: jax.Array, ridge: jax.Array) -> jax.Array:
     """Lane-major recursion: at [r, r, N] -> inv(chol(at + diag(ridge)))
-    [r, r, N]; ridge [1, N] (same shift on every diagonal element)."""
+    [r, r, N]; ridge [r, N] (per diagonal element)."""
     r = at.shape[0]
     if r <= _LEAF:
         return _leaf_lane(at, ridge)
     h = r // 2
-    inv11 = _rec_lane(at[:h, :h, :], ridge)
+    inv11 = _rec_lane(at[:h, :h, :], ridge[:h])
     # L21 = A21 @ inv(L11)^T ; S22 = A22 - L21 @ L21^T
     l21 = _lane_matmul(at[h:, :h, :], inv11, trans_b=True)
     s22 = at[h:, h:, :] - _lane_matmul(l21, l21, trans_b=True)
-    inv22 = _rec_lane(s22, ridge)
+    inv22 = _rec_lane(s22, ridge[h:])
     # inv21 = -inv(L22) @ (L21 @ inv(L11))
     inv21 = -_lane_matmul(inv22, _lane_matmul(l21, inv11))
     zero = jnp.zeros_like(l21)
@@ -212,17 +214,17 @@ def _rec_lane(at: jax.Array, ridge: jax.Array) -> jax.Array:
 
 
 def _chol_inverse_leaf_impl(a: jax.Array, ridge: jax.Array) -> jax.Array:
-    """Lane-major subtree: a [N, r, r], ridge [N] ->
-    inv(chol(a + diag(ridge))), r <= _LANE_MAX."""
+    """Lane-major subtree: a [N, r, r], ridge [N, r] (per diagonal
+    element) -> inv(chol(a + diag(ridge))), r <= _LANE_MAX."""
     n, r, _ = a.shape
     nl = _LEAF_LANES
     n_pad = ((n + nl - 1) // nl) * nl
     if n_pad != n:
         pad = jnp.broadcast_to(jnp.eye(r, dtype=a.dtype), (n_pad - n, r, r))
         a = jnp.concatenate([a, pad], axis=0)
-        ridge = jnp.pad(ridge, (0, n_pad - n))
+        ridge = jnp.pad(ridge, ((0, n_pad - n), (0, 0)))
     at = jnp.transpose(a, (1, 2, 0))                            # [r, r, N]
-    return jnp.transpose(_rec_lane(at, ridge[None, :]), (2, 0, 1))[:n]
+    return jnp.transpose(_rec_lane(at, ridge.T), (2, 0, 1))[:n]
 
 
 # A pallas_call is opaque to the SPMD partitioner, so the lane subtree is
@@ -242,7 +244,7 @@ def _leaf_batch_axis(arg_shapes):
 def _leaf_partition(mesh, arg_shapes, result_shape):
     batch = _leaf_batch_axis(arg_shapes)
     sh = NamedSharding(mesh, PartitionSpec(batch, None, None))
-    sh_r = NamedSharding(mesh, PartitionSpec(batch))
+    sh_r = NamedSharding(mesh, PartitionSpec(batch, None))
     return mesh, _chol_inverse_leaf_impl, sh, (sh, sh_r)
 
 
@@ -254,7 +256,7 @@ def _leaf_infer_sharding(mesh, arg_shapes, result_shape):
 _chol_inverse_leaf.def_partition(
     partition=_leaf_partition,
     infer_sharding_from_operands=_leaf_infer_sharding,
-    sharding_rule="n d e, n -> n d e")
+    sharding_rule="n d e, n f -> n d e")
 
 
 def _use_leaf_kernel() -> bool:
@@ -265,19 +267,19 @@ def _use_leaf_kernel() -> bool:
 
 def _chol_inverse_rec(a: jax.Array, ridge: jax.Array) -> jax.Array:
     """inv(chol(a + diag(ridge))) (lower-triangular) for SPD a [N, R, R],
-    R a power of 2, ridge [N]. The ridge is applied where each diagonal
-    element is first consumed (leaf kernels / closed forms) — never as a
-    slab-wide add."""
+    R a power of 2, ridge [N, R] (per diagonal element). The ridge is
+    applied where each diagonal element is first consumed (leaf kernels
+    / closed forms) — never as a slab-wide add."""
     n, r, _ = a.shape
     if r <= _LANE_MAX and r >= 8 and _use_leaf_kernel():
         return _chol_inverse_leaf(a, ridge)
     if r == 1:
-        return jax.lax.rsqrt(jnp.maximum(a + ridge[:, None, None], 1e-30))
+        return jax.lax.rsqrt(
+            jnp.maximum(a + ridge[:, :, None], 1e-30))
     if r == 2:
-        rg = ridge[:, None, None]
-        a11 = a[:, 0:1, 0:1] + rg
+        a11 = a[:, 0:1, 0:1] + ridge[:, 0:1, None]
         a21 = a[:, 1:2, 0:1]
-        a22 = a[:, 1:2, 1:2] + rg
+        a22 = a[:, 1:2, 1:2] + ridge[:, 1:2, None]
         i11 = jax.lax.rsqrt(jnp.maximum(a11, 1e-30))
         l21 = a21 * i11
         i22 = jax.lax.rsqrt(jnp.maximum(a22 - l21 * l21, 1e-30))
@@ -288,12 +290,12 @@ def _chol_inverse_rec(a: jax.Array, ridge: jax.Array) -> jax.Array:
             jnp.concatenate([i21, i22], axis=2),
         ], axis=1)
     h = r // 2
-    inv11 = _chol_inverse_rec(a[:, :h, :h], ridge)
+    inv11 = _chol_inverse_rec(a[:, :h, :h], ridge[:, :h])
     # L21 = A21 @ inv(L11)^T
     l21 = _bdot(a[:, h:, :h], inv11, (((2,), (2,))))
     # Schur complement S22 = A22 - L21 @ L21^T
     s22 = a[:, h:, h:] - _bdot(l21, l21, (((2,), (2,))))
-    inv22 = _chol_inverse_rec(s22, ridge)
+    inv22 = _chol_inverse_rec(s22, ridge[:, h:])
     # inv21 = -inv(L22) @ (L21 @ inv(L11))
     t = _bdot(l21, inv11, (((2,), (1,))))
     inv21 = -_bdot(inv22, t, (((2,), (1,))))
@@ -316,16 +318,29 @@ def _pad_pow2(a: jax.Array) -> jax.Array:
     return a + pad_eye[None]
 
 
+def _ridge_vec(ridge, n: int, d: int, d_pad: int, dtype) -> jax.Array:
+    """Normalize ridge (None | [N] | [N, d]) to [N, d_pad] (0 on pad)."""
+    if ridge is None:
+        return jnp.zeros((n, d_pad), dtype)
+    ridge = jnp.asarray(ridge, dtype)
+    if ridge.ndim == 1:
+        ridge = jnp.broadcast_to(ridge[:, None], (n, d))
+    if d_pad != d:
+        ridge = jnp.pad(ridge, ((0, 0), (0, d_pad - d)))
+    return ridge
+
+
 @functools.partial(jax.jit, static_argnames=())
 def chol_inverse(a: jax.Array, ridge: jax.Array = None) -> jax.Array:
     """inv(chol(a + diag(ridge))) for batched SPD a [N, d, d]
-    (lower-triangular inverse); ridge [N] or None.
+    (lower-triangular inverse); ridge None, [N] (scalar shift per
+    system) or [N, d] (full diagonal shift).
 
     d is padded internally to the next power of two with identity blocks.
     """
     n, d, _ = a.shape
-    if ridge is None:
-        ridge = jnp.zeros((n,), a.dtype)
+    d_pad = _next_pow2(d)
+    ridge = _ridge_vec(ridge, n, d, d_pad, a.dtype)
     inv = _chol_inverse_rec(_pad_pow2(a), ridge)
     return inv[:, :d, :d]
 
@@ -375,10 +390,10 @@ def _factor_rec(a: jax.Array, ridge: jax.Array) -> jax.Array:
     if r <= _LANE_MAX:
         return _chol_inverse_rec(a, ridge)   # diagonal-block terminal
     h = r // 2
-    s11 = _factor_rec(a[:, :h, :h], ridge)
+    s11 = _factor_rec(a[:, :h, :h], ridge[:, :h])
     l21 = _trsm_right(s11, a[:, h:, :h])
     s22 = _factor_rec(a[:, h:, h:] - _bdot(l21, l21, (((2,), (2,)))),
-                      ridge)
+                      ridge[:, h:])
     zero = jnp.zeros((n, h, h), a.dtype)
     return jnp.concatenate([
         jnp.concatenate([s11, zero], axis=2),
@@ -413,8 +428,9 @@ def _bwd_sub(s: jax.Array, y: jax.Array) -> jax.Array:
 @jax.jit
 def spd_solve(a: jax.Array, b: jax.Array,
               ridge: jax.Array = None) -> jax.Array:
-    """Solve (a[n] + ridge[n] I) x = b[n] for batched SPD a [N, d, d],
-    b [N, d] -> [N, d]; ridge [N] or None.
+    """Solve (a[n] + diag(ridge[n])) x = b[n] for batched SPD a
+    [N, d, d], b [N, d] -> [N, d]; ridge None, [N] (scalar shift per
+    system) or [N, d] (full diagonal shift).
 
     Default: x = inv(L)^T @ (inv(L) @ b) via the explicit blocked
     inverse. With FRT_FACTORED_SOLVE=1: blocked Cholesky factorization +
@@ -430,13 +446,19 @@ def spd_solve(a: jax.Array, b: jax.Array,
     """
     n, d = b.shape
     bump = jnp.where(jnp.all(b == 0.0, axis=-1), 1.0, 0.0)
-    ridge = bump if ridge is None else bump + ridge
+    if ridge is None:
+        ridge = bump
+    elif jnp.ndim(ridge) == 1:
+        ridge = bump + ridge
+    else:
+        ridge = bump[:, None] + ridge
     if not _use_factored():
         inv = chol_inverse(a, ridge)
         y = _bdot(inv, b[:, :, None], (((2,), (1,))))      # inv @ b
         x = _bdot(inv, y, (((1,), (1,))))                  # inv^T @ y
         return x[:, :, 0]
     d_pad = _next_pow2(d)
+    ridge = _ridge_vec(ridge, n, d, d_pad, a.dtype)
     if d_pad != d:
         a = _pad_pow2(a)
         b = jnp.pad(b, ((0, 0), (0, d_pad - d)))

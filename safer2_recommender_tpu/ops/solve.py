@@ -58,7 +58,8 @@ def cg_solve(a: jax.Array, b: jax.Array, *, tol: float = 1e-10,
         i, x, r, p, rs = state
         ap = jnp.einsum("nde,ne->nd", a, p)
         if ridge is not None:
-            ap = ap + ridge[:, None] * p
+            rg = ridge[:, None] if jnp.ndim(ridge) == 1 else ridge
+            ap = ap + rg * p
         denom = jnp.sum(p * ap, axis=-1)
         live = (rs > thresh) & (denom > 0)   # freeze converged systems
         alpha = jnp.where(live, rs / jnp.maximum(denom, 1e-30), 0.0)

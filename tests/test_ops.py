@@ -442,3 +442,45 @@ def test_epanechnikov_loss_matches_reference_tails():
     np.testing.assert_allclose(
         float(smoothing.epanechnikov_loss(u, h, alpha)),
         lin * -2.0, rtol=1e-6)
+
+
+def test_solve_sweep_rotated_direct_matches_plain(monkeypatch):
+    # Buckets too wide for Woodbury (width > dim/2) take the
+    # eigenbasis-ROTATED direct path when eig is present (the c1*G term
+    # becomes a [N, d] diagonal ridge); it must match the plain direct
+    # path (eig=None) and the FRT_NO_ROTATE'd path.
+    from safer2_recommender_tpu import Dataset, DeviceData
+    from safer2_recommender_tpu.models import common
+    from safer2_recommender_tpu.ops import woodbury
+
+    rng = np.random.default_rng(4)
+    # one hot user (width >> dim/2) + a tail of narrow ones
+    hot = np.stack([np.zeros(150, np.int64), np.arange(150)], 1)
+    tail = np.stack([rng.integers(1, 120, 2000),
+                     rng.integers(0, 150, 2000)], 1)
+    pairs = np.unique(np.concatenate([hot, tail]), axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    dd = DeviceData.build(ds)
+    d = 128
+    key = jax.random.PRNGKey(1)
+    table_other = jax.random.normal(key, (ds.num_items, d), jnp.float32) * 0.1
+    gram = table_other.T @ table_other
+    eig = woodbury.maybe_eigh(gram, d, use_cg=False)
+    widths = {b.width for b in dd.by_user}
+    assert any(w > d // 2 for w in widths), widths   # direct bucket exists
+
+    def params_fn(b, pre=None):
+        reg = common.ials_reg(b.length, ds.num_items, 0.004, 1.0, 0.1)
+        return common.params_ials(table_other, b, reg, 0.1, pre=pre)
+
+    z = jnp.zeros((ds.num_users, d), jnp.float32)
+    x_rot = np.asarray(common.solve_sweep(z, dd.by_user, params_fn, gram,
+                                          eig=eig))
+    x_plain = np.asarray(common.solve_sweep(z, dd.by_user, params_fn, gram,
+                                            eig=None))
+    np.testing.assert_allclose(x_rot, x_plain, rtol=5e-3, atol=5e-4)
+
+    monkeypatch.setenv("FRT_NO_ROTATE", "1")
+    x_norot = np.asarray(common.solve_sweep(z, dd.by_user, params_fn, gram,
+                                            eig=eig))
+    np.testing.assert_allclose(x_norot, x_plain, rtol=5e-3, atol=5e-4)
