@@ -320,25 +320,22 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
     if overlap and wood:
         token, ftoken = bump(table)
 
+    def cat(xs):
+        return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+
     pres = {id(b): p for b, p in direct}
     for group in _solve_groups([b for b, _ in direct], dim):
         ps = [make(b, pres[id(b)]) for b in group]
         g_rot = rotate and all(p.wide is None for p in ps)
-        if g_rot:
+        if g_rot:   # g_rot implies use_cg is False (see ``rotate``)
             systems = [assemble_rotated(p, eig) for p in ps]
-            ridge = (systems[0][2] if len(group) == 1 else
-                     jnp.concatenate([s[2] for s in systems], axis=0))
+            ridge = cat([s[2] for s in systems])
         else:
             systems = [assemble_from_params(p, gram) for p in ps]
-            ridge = (ps[0].c0 if len(group) == 1 else
-                     jnp.concatenate([p.c0 for p in ps], axis=0))
-        if len(group) == 1:
-            a, rhs = systems[0][0], systems[0][1]
-        else:
-            a = jnp.concatenate([s[0] for s in systems], axis=0)
-            rhs = jnp.concatenate([s[1] for s in systems], axis=0)
-        x = solve.solve(a, rhs, use_cg=use_cg and not g_rot, tol=cg_tol,
-                        max_iters=cg_iters, ridge=ridge)
+            ridge = cat([p.c0 for p in ps])
+        x = solve.solve(cat([s[0] for s in systems]),
+                        cat([s[1] for s in systems]), use_cg=use_cg,
+                        tol=cg_tol, max_iters=cg_iters, ridge=ridge)
         if g_rot:
             x = unrotate(x)
         token, ftoken = bump(x)
