@@ -134,3 +134,34 @@ def test_sharded_evaluation_matches_single_device(tiny, mesh):
                                rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(r1.mean_recall(), r2.mean_recall(),
                                rtol=5e-3, atol=5e-4)
+
+
+def test_sharded_rotated_direct_matches_single_device(mesh):
+    # Buckets wider than dim/2 take the eigenbasis-rotated direct path
+    # (vector ridge through the custom-partitioned solver); it must
+    # agree with the single-device run under SPMD sharding.
+    import numpy as np
+
+    from safer2_recommender_tpu.data.dataset import Dataset
+
+    rng = np.random.default_rng(7)
+    hot = np.stack([np.zeros(150, np.int64), np.arange(150)], 1)
+    tail = np.stack([rng.integers(1, 120, 2000),
+                     rng.integers(0, 150, 2000)], 1)
+    pairs = np.unique(np.concatenate([hot, tail]), axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    cfg = Config(dim=128)
+
+    m1 = get_model("safer2", cfg, ds.num_users, ds.num_items)
+    dd1 = DeviceData.build(ds, dim=128)
+    m1.initialize(dd1)
+    m1.train_epoch(dd1)
+
+    m2 = get_model("safer2", cfg, ds.num_users, ds.num_items, mesh=mesh)
+    dd2 = DeviceData.build(ds, mesh=mesh, dim=128)
+    m2.initialize(dd2)
+    m2.train_epoch(dd2)
+
+    np.testing.assert_allclose(np.asarray(m1.state.user_emb),
+                               np.asarray(m2.state.user_emb),
+                               rtol=5e-3, atol=5e-5)
