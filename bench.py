@@ -132,6 +132,10 @@ def main() -> int:
         "value": round(users_per_s_chip, 1),
         "unit": "users/s/chip",
         "vs_baseline": round(vs_baseline, 2),
+        # honest labeling: a "cpu" backend here means the TPU tunnel was
+        # down and this is the emergency fallback, not a TPU regression
+        # (see BASELINE.md for the measured TPU numbers)
+        "backend": jax.default_backend(),
     }))
     print(f"# epoch_time_ms={epoch_s * 1000:.1f} device={jax.devices()[0]}",
           file=sys.stderr)
