@@ -111,10 +111,23 @@ def enable_compilation_cache() -> None:
 
     if "JAX_COMPILATION_CACHE_DIR" in os.environ:
         return
+    import hashlib
+    import platform
+
     import jax
 
+    # Key the cache by the host CPU's feature set: XLA:CPU AOT entries
+    # record the compile machine's features and loading one compiled on
+    # a different host (e.g. through a remote-compile helper) risks
+    # SIGILL — XLA warns and loads anyway.
+    try:
+        with open("/proc/cpuinfo") as f:
+            fp = next(l for l in f if l.startswith("flags"))
+    except (OSError, StopIteration):
+        fp = platform.machine()
+    tag = hashlib.sha1(fp.encode()).hexdigest()[:8]
     path = os.path.join(os.path.expanduser("~"), ".cache",
-                        "safer2_recommender_tpu", "xla")
+                        "safer2_recommender_tpu", "xla", tag)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
