@@ -83,7 +83,7 @@ def main() -> int:
     reps = 2
     if jax.default_backend() == "cpu":
         # Emergency fallback only (single host core): keep it bounded.
-        WARMUP_EPOCHS, BENCH_EPOCHS, reps = 0, 2, 1
+        WARMUP_EPOCHS, BENCH_EPOCHS, reps = 1, 3, 2
 
     train = Dataset.from_csv(os.path.join(ML1M_DIR, "train.csv"))
     dd = DeviceData.build(train, dim=DIM)
@@ -114,6 +114,11 @@ def main() -> int:
         return time.perf_counter() - t0
 
     k1 = 1
+    # Warm BOTH chain lengths before timing: each static k compiles (or
+    # cache-loads) its own program, and with few reps that cost would
+    # otherwise skew the k2-k1 difference.
+    run(k1)
+    run(BENCH_EPOCHS)
     t1 = min(run(k1) for _ in range(reps))
     t2 = min(run(BENCH_EPOCHS) for _ in range(reps))
     epoch_s = (t2 - t1) / (BENCH_EPOCHS - k1)

@@ -371,6 +371,36 @@ def _use_factored() -> bool:
     return os.environ.get("FRT_FACTORED_SOLVE") == "1"
 
 
+def _use_lapack() -> bool:
+    """On the CPU backend XLA's cholesky/triangular_solve lower to LAPACK
+    custom calls that beat the blocked inversion ~3x (measured 34.9 vs
+    107.7 ms at [4096, 32, 32] on one core — the inversion's extra FLOPs
+    and deep-recursion concatenates only pay off against the TPU's
+    per-column-loop lowering). Interpret mode opts out so the CPU test
+    mesh still exercises the TPU code path and its SPMD partitioning."""
+    if _interpret() or os.environ.get("FRT_NO_LAPACK_SOLVE") == "1":
+        return False
+    return jax.default_backend() == "cpu"
+
+
+def _lapack_solve(a: jax.Array, b: jax.Array, ridge: jax.Array) -> jax.Array:
+    """chol + two triangular solves; ridge [N] or [N, d] materialized as a
+    diagonal add (a memory pass, but CPU-path only). All-zero systems are
+    bumped to the identity — the blocked path's per-pivot clamps keep such
+    rows finite even when the RHS-based bump misses them (b != 0), and the
+    LAPACK path must not be the one place NaNs can leak from."""
+    d = a.shape[-1]
+    if jnp.ndim(ridge) == 1:
+        ridge = ridge[:, None]
+    diag = jnp.einsum("ndd->nd", a) + ridge
+    zero_bump = jnp.where(jnp.all(diag == 0.0, axis=-1), 1.0, 0.0)
+    a = a + (ridge + zero_bump[:, None])[:, :, None] * jnp.eye(d, dtype=a.dtype)
+    chol = jnp.linalg.cholesky(a)
+    y = jax.scipy.linalg.solve_triangular(chol, b[..., None], lower=True)
+    x = jax.scipy.linalg.solve_triangular(chol, y, lower=True, trans=1)
+    return x[..., 0]
+
+
 def _trsm_right(s: jax.Array, x: jax.Array) -> jax.Array:
     """x @ L^-T for the solve factor ``s`` [N, r, r]; x [N, m, r]."""
     r = s.shape[1]
@@ -435,7 +465,9 @@ def spd_solve(a: jax.Array, b: jax.Array,
     Default: x = inv(L)^T @ (inv(L) @ b) via the explicit blocked
     inverse. With FRT_FACTORED_SOLVE=1: blocked Cholesky factorization +
     forward/backward substitution (see the factored-solve section above;
-    3x fewer FLOPs, opt-in pending a device-side hang root-cause).
+    3x fewer FLOPs, opt-in pending a device-side hang root-cause). On the
+    CPU backend the solve dispatches to LAPACK instead (see
+    ``_use_lapack``; FRT_NO_LAPACK_SOLVE=1 restores the blocked path).
     Degenerate all-zero systems are bumped to the identity so the
     factorization stays finite; the zero test uses the RHS (for SPD a,
     b == 0 gives x == 0 with or without the bump, and a == 0 only arises
@@ -452,6 +484,8 @@ def spd_solve(a: jax.Array, b: jax.Array,
         ridge = bump + ridge
     else:
         ridge = bump[:, None] + ridge
+    if _use_lapack():
+        return _lapack_solve(a, b, ridge)
     if not _use_factored():
         inv = chol_inverse(a, ridge)
         y = _bdot(inv, b[:, :, None], (((2,), (1,))))      # inv @ b
