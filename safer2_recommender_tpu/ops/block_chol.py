@@ -377,28 +377,47 @@ def _use_lapack() -> bool:
     107.7 ms at [4096, 32, 32] on one core — the inversion's extra FLOPs
     and deep-recursion concatenates only pay off against the TPU's
     per-column-loop lowering). Interpret mode opts out so the CPU test
-    mesh still exercises the TPU code path and its SPMD partitioning."""
-    if _interpret() or os.environ.get("FRT_NO_LAPACK_SOLVE") == "1":
+    mesh still exercises the TPU code path and its SPMD partitioning,
+    and the explicit FRT_FACTORED_SOLVE opt-in takes precedence."""
+    if _interpret() or _use_factored() or (
+            os.environ.get("FRT_NO_LAPACK_SOLVE") == "1"):
         return False
     return jax.default_backend() == "cpu"
 
 
-def _lapack_solve(a: jax.Array, b: jax.Array, ridge: jax.Array) -> jax.Array:
-    """chol + two triangular solves; ridge [N] or [N, d] materialized as a
-    diagonal add (a memory pass, but CPU-path only). All-zero systems are
-    bumped to the identity — the blocked path's per-pivot clamps keep such
-    rows finite even when the RHS-based bump misses them (b != 0), and the
-    LAPACK path must not be the one place NaNs can leak from."""
+def _lapack_solve(a: jax.Array, b: jax.Array, ridge) -> jax.Array:
+    """chol + two triangular solves; ridge None, [N] or [N, d]
+    materialized as a diagonal add (a memory pass, but CPU-path only).
+
+    All-zero systems are bumped to the identity; nonfinite rows are
+    scrubbed by ``_scrub_nonfinite`` (shared with the blocked paths)."""
     d = a.shape[-1]
-    if jnp.ndim(ridge) == 1:
+    if ridge is None:
+        ridge = jnp.zeros((a.shape[0], 1), a.dtype)
+    elif jnp.ndim(ridge) == 1:
         ridge = ridge[:, None]
     diag = jnp.einsum("ndd->nd", a) + ridge
     zero_bump = jnp.where(jnp.all(diag == 0.0, axis=-1), 1.0, 0.0)
     a = a + (ridge + zero_bump[:, None])[:, :, None] * jnp.eye(d, dtype=a.dtype)
     chol = jnp.linalg.cholesky(a)
     y = jax.scipy.linalg.solve_triangular(chol, b[..., None], lower=True)
-    x = jax.scipy.linalg.solve_triangular(chol, y, lower=True, trans=1)
-    return x[..., 0]
+    x = jax.scipy.linalg.solve_triangular(chol, y, lower=True, trans=1)[..., 0]
+    return _scrub_nonfinite(x)
+
+
+def _scrub_nonfinite(x: jax.Array) -> jax.Array:
+    """Zero any solution row that came back nonfinite.
+
+    A rank-deficient system with a NONZERO diagonal (reachable with
+    l2_reg=0 and history shorter than dim) defeats both the all-zero
+    bump and the blocked path's per-pivot clamps (the clamped huge
+    pivots feed inf - inf into the Schur complement), and LAPACK's
+    potrf simply fails — every dispatch can produce NaN rows. A zero
+    row (skip this row's update) is the one cheap answer that cannot
+    poison the embedding table; genuinely bad numerics still surface
+    through the models' NaN-loss abort (reference ials.h:291-296)."""
+    ok = jnp.all(jnp.isfinite(x), axis=-1, keepdims=True)
+    return jnp.where(ok, x, 0.0)
 
 
 def _trsm_right(s: jax.Array, x: jax.Array) -> jax.Array:
@@ -465,13 +484,16 @@ def spd_solve(a: jax.Array, b: jax.Array,
     Default: x = inv(L)^T @ (inv(L) @ b) via the explicit blocked
     inverse. With FRT_FACTORED_SOLVE=1: blocked Cholesky factorization +
     forward/backward substitution (see the factored-solve section above;
-    3x fewer FLOPs, opt-in pending a device-side hang root-cause). On the
-    CPU backend the solve dispatches to LAPACK instead (see
-    ``_use_lapack``; FRT_NO_LAPACK_SOLVE=1 restores the blocked path).
+    3x fewer FLOPs, opt-in pending a device-side hang root-cause; the
+    opt-in also wins over the CPU dispatch below). On the CPU backend the
+    solve dispatches to LAPACK instead (see ``_use_lapack``;
+    FRT_NO_LAPACK_SOLVE=1 or FRT_FACTORED_SOLVE=1 restores the blocked
+    paths).
     Degenerate all-zero systems are bumped to the identity so the
     factorization stays finite; the zero test uses the RHS (for SPD a,
     b == 0 gives x == 0 with or without the bump, and a == 0 only arises
-    on padded rows whose b is also 0). Both the bump and the callers'
+    on padded rows whose b is also 0). Rank-deficient systems that defeat
+    the bump return zero rows instead of NaN (``_scrub_nonfinite``). Both the bump and the callers'
     reg * I ride the solver's lazy diagonal shift (see ``_leaf_kernel``)
     — applied assembly-side each was a full memory-bound pass over the
     [N, d, d] slabs.
@@ -490,7 +512,7 @@ def spd_solve(a: jax.Array, b: jax.Array,
         inv = chol_inverse(a, ridge)
         y = _bdot(inv, b[:, :, None], (((2,), (1,))))      # inv @ b
         x = _bdot(inv, y, (((1,), (1,))))                  # inv^T @ y
-        return x[:, :, 0]
+        return _scrub_nonfinite(x[:, :, 0])
     d_pad = _next_pow2(d)
     ridge = _ridge_vec(ridge, n, d, d_pad, a.dtype)
     if d_pad != d:
@@ -498,4 +520,4 @@ def spd_solve(a: jax.Array, b: jax.Array,
         b = jnp.pad(b, ((0, 0), (0, d_pad - d)))
     s = _factor_rec(a, ridge)
     x = _bwd_sub(s, _fwd_sub(s, b))
-    return x[:, :d]
+    return _scrub_nonfinite(x[:, :d])

@@ -14,26 +14,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from safer2_recommender_tpu.ops.block_chol import _lapack_solve
 from safer2_recommender_tpu.ops.block_chol import spd_solve as cholesky_solve
 
 
 def xla_cholesky_solve(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve a[n] x[n] = b[n] via XLA's native batched Cholesky lowering.
-
-    Padded rows carry singular (all-zero) systems; the resulting NaNs are
-    dropped by the out-of-bounds scatter in ``assemble.scatter_rows``, but
-    we still guard the diagonal so NaNs can't propagate through reductions.
-    """
-    d = a.shape[-1]
-    # Tiny ridge on exactly-zero diagonals (padded rows only).
-    diag = jnp.einsum("ndd->nd", a)
-    bump = jnp.where(jnp.all(diag == 0.0, axis=-1), 1.0, 0.0)
-    a = a + bump[:, None, None] * jnp.eye(d, dtype=a.dtype)
-    chol = jnp.linalg.cholesky(a)
-    y = jax.scipy.linalg.solve_triangular(chol, b[..., None], lower=True)
-    x = jax.scipy.linalg.solve_triangular(
-        chol, y, lower=True, trans=1)
-    return x[..., 0]
+    """Solve a[n] x[n] = b[n] via XLA's native batched Cholesky lowering
+    (all-zero systems bumped to the identity, nonfinite rows scrubbed —
+    see ``block_chol._lapack_solve``, the single implementation)."""
+    return _lapack_solve(a, b, None)
 
 
 def cg_solve(a: jax.Array, b: jax.Array, *, tol: float = 1e-10,

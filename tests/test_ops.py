@@ -176,8 +176,22 @@ def _random_spd(rng, n, d, ridge=0.05):
     return jnp.asarray(a)
 
 
+@pytest.fixture(params=["lapack", "blocked"])
+def spd_solve_path(request, monkeypatch):
+    """Run an spd_solve test under BOTH dispatches: the CPU-default LAPACK
+    path and (via FRT_NO_LAPACK_SOLVE) the blocked inversion that runs on
+    TPU — the CPU suite must keep covering the TPU code path."""
+    from safer2_recommender_tpu.ops import block_chol
+
+    if request.param == "blocked":
+        monkeypatch.setenv("FRT_NO_LAPACK_SOLVE", "1")
+    block_chol.spd_solve.clear_cache()
+    yield request.param
+    block_chol.spd_solve.clear_cache()
+
+
 @pytest.mark.parametrize("d", [1, 2, 5, 8, 16, 24, 32, 96, 128, 256])
-def test_spd_solve_matches_numpy(d):
+def test_spd_solve_matches_numpy(d, spd_solve_path):
     from safer2_recommender_tpu.ops import block_chol
 
     rng = np.random.default_rng(d)
@@ -188,7 +202,7 @@ def test_spd_solve_matches_numpy(d):
     np.testing.assert_allclose(x, want, rtol=2e-3, atol=2e-4)
 
 
-def test_spd_solve_zero_rows_stay_finite():
+def test_spd_solve_zero_rows_stay_finite(spd_solve_path):
     from safer2_recommender_tpu.ops import block_chol
 
     rng = np.random.default_rng(0)
@@ -200,6 +214,20 @@ def test_spd_solve_zero_rows_stay_finite():
     # non-padded rows still solved correctly
     want = np.linalg.solve(a[4:], np.asarray(b)[4:, :, None])[..., 0]
     np.testing.assert_allclose(x[4:], want, rtol=2e-3, atol=2e-4)
+
+
+def test_spd_solve_rank_deficient_stays_finite(spd_solve_path):
+    # l2_reg=0 is a legal config: a row with history L < dim then assembles
+    # an exactly singular PSD system with a NONZERO diagonal (the all-zero
+    # bump misses it). Neither dispatch may leak NaN into the tables.
+    from safer2_recommender_tpu.ops import block_chol
+
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=(6, 3, 16)).astype(np.float32)  # L=3 < d=16
+    a = jnp.asarray(np.einsum("nld,nle->nde", v, v))
+    b = jnp.asarray(v.sum(1))
+    x = np.asarray(block_chol.spd_solve(a, b))
+    assert np.isfinite(x).all()
 
 
 def test_chol_inverse_lower_triangular():
@@ -355,7 +383,7 @@ def test_refresh_eigh_warm_and_cold_paths():
     assert np.all(np.diff(np.asarray(lam2)) >= -1e-4)
 
 
-def test_spd_solve_ridge_param_matches_explicit():
+def test_spd_solve_ridge_param_matches_explicit(spd_solve_path):
     # the lazy diagonal shift must equal an explicit a + diag(ridge)
     from safer2_recommender_tpu.ops import block_chol
 
