@@ -40,15 +40,18 @@ class CheckpointManager:
         os.makedirs(self.directory, exist_ok=True)
         try:
             import orbax.checkpoint as ocp
-
+        except ImportError:
+            # Only a missing orbax selects the npz fallback; a real setup
+            # failure (corrupt checkpoint dir, bad options) must surface,
+            # not silently retrain from scratch.
+            self._ocp = None
+            self._mgr = None
+        else:
             self._ocp = ocp
             self._mgr = ocp.CheckpointManager(
                 self.directory,
                 options=ocp.CheckpointManagerOptions(max_to_keep=3),
             )
-        except Exception:  # pragma: no cover - orbax is in the image
-            self._ocp = None
-            self._mgr = None
 
     def save(self, state, epoch: int) -> None:
         if self._mgr is not None:
@@ -64,7 +67,20 @@ class CheckpointManager:
                      **leaves)
             with open(os.path.join(self.directory, "latest.json"), "w") as f:
                 json.dump({"epoch": epoch}, f)
+            self._prune_npz(keep=3)
         _log.info("Saved checkpoint at epoch %d", epoch)
+
+    def _prune_npz(self, keep: int) -> None:
+        """Match the orbax backend's max_to_keep — two full embedding
+        tables per save add up fast at scale."""
+        import glob
+
+        paths = glob.glob(os.path.join(self.directory, "state_*.npz"))
+        by_epoch = sorted(
+            paths, key=lambda p: int(
+                os.path.basename(p)[len("state_"):-len(".npz")]))
+        for p in by_epoch[:-keep]:
+            os.remove(p)
 
     def _npz_epoch(self) -> Optional[int]:
         path = os.path.join(self.directory, "latest.json")
@@ -100,12 +116,35 @@ class CheckpointManager:
                     x.shape, x.dtype,
                     sharding=getattr(x, "sharding", None)),
                 tpl)
-            restored = self._mgr.restore(
-                epoch, args=self._ocp.args.StandardRestore(abstract))
+            try:
+                restored = self._mgr.restore(
+                    epoch, args=self._ocp.args.StandardRestore(abstract))
+            except Exception:
+                # A checkpoint written before a field was added to
+                # MFState must still resume: retry with only the keys
+                # it has, take the rest from the template below.
+                avail = set(self._mgr.item_metadata(epoch).keys())
+                restored = self._mgr.restore(
+                    epoch, args=self._ocp.args.StandardRestore(
+                        {k: v for k, v in abstract.items() if k in avail}))
         else:
             data = np.load(
                 os.path.join(self.directory, f"state_{epoch}.npz"))
-            restored = {k: data[k] for k in tpl}
+            restored = {k: data[k] for k in tpl if k in data.files}
+        for k in tpl:
+            if k not in restored:
+                _log.info("Checkpoint lacks field %r; using template", k)
+                restored[k] = tpl[k]
         state = type(template_state)(**{
-            k: jax.numpy.asarray(v) for k, v in restored.items()})
+            k: _put_like(restored[k], tpl[k]) for k in tpl})
         return state, epoch
+
+
+def _put_like(value, template) -> jax.Array:
+    """Re-materialize a restored leaf with the template's sharding —
+    np.load gives host arrays, and without the device_put a --mesh run
+    resumed from an npz checkpoint would sit whole on one device."""
+    sharding = getattr(template, "sharding", None)
+    if sharding is not None and not isinstance(value, jax.Array):
+        return jax.device_put(value, sharding)
+    return jax.numpy.asarray(value)

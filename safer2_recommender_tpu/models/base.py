@@ -100,6 +100,7 @@ class Recommender:
         self._epoch_jit = jax.jit(self._epoch)
         self._fold_in_jit = jax.jit(self._fold_in)
         self._eval_jit = None
+        self._rec_jit = None
 
     # ---- reference API surface -------------------------------------------
 
@@ -254,20 +255,38 @@ class Recommender:
             empty = Dataset(np.zeros(0, np.int32), np.zeros(0, np.int32))
             fold = FoldInData.build(histories, empty,
                                     num_items=self.num_items,
+                                    dim=self.cfg.dim,
                                     mesh=self.mesh)
         else:
             fold = histories
-            users = np.arange(int(np.asarray(fold.hist_size > 0).sum()))
+            users = np.arange(fold.n_eval)
         ue = self._fold_in_jit(self.state, fold)
-
-        @jax.jit
-        def _score(ue_, item_emb, excl):
-            scores = jnp.matmul(ue_, item_emb.T,
-                                precision=jax.lax.Precision.HIGHEST)
-            return topk_ids(scores, excl, k)
-
-        ids = np.asarray(_score(ue, self.state.item_emb, fold.excl))
+        if self._rec_jit is None:
+            self._rec_jit = jax.jit(self._recommend_ids,
+                                    static_argnames=("k",))
+        ids = np.asarray(
+            self._rec_jit(ue, self.state.item_emb, fold.excl, k=k))
         return users, ids[: users.size]
+
+    def _recommend_ids(self, ue: jax.Array, item_emb: jax.Array,
+                       excl: jax.Array, *, k: int) -> jax.Array:
+        # chunked like _eval_metrics: an unchunked [n_pad, num_items]
+        # score matrix for a large serving batch would exhaust HBM
+        chunk = min(self.cfg.eval_chunk, ue.shape[0])
+        while ue.shape[0] % chunk:
+            chunk -= 1
+        n_chunks = ue.shape[0] // chunk
+
+        def score_chunk(args):
+            u, ex = args
+            scores = jnp.matmul(u, item_emb.T,
+                                precision=jax.lax.Precision.HIGHEST)
+            return topk_ids(scores, ex, k)
+
+        ids = jax.lax.map(score_chunk,
+                          (ue.reshape(n_chunks, chunk, -1),
+                           excl.reshape(n_chunks, chunk, -1)))
+        return ids.reshape(-1, k)
 
     def _eval_metrics(self, ue: jax.Array, item_emb: jax.Array,
                       fold: FoldInData, *, k_list: Tuple[int, ...]):
@@ -311,7 +330,9 @@ class Recommender:
         # Reference (ials.h:212-218): Q = n * alpha stays a FLOAT — the
         # sum runs over floor(Q)+1 elements but the divisor is Q itself.
         qf = len(vals) * self.cfg.alpha
-        q = int(qf)
+        # alpha == 1.0 (plain ERM) would index one past the end — the
+        # reference reads out of bounds there (ials.h:214); clamp instead.
+        q = min(int(qf), len(vals) - 1)
         var = -vals[q]
         cvar = -vals[: q + 1].sum() / (qf if qf > 0 else 1.0)
         _log.info("VaR: %s CVaR: %s", var, cvar)

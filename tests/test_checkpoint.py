@@ -88,3 +88,76 @@ def test_cli_checkpoint_cadence_with_chained_dispatch(tmp_path, tiny):
         assert set(mgr._mgr.all_steps()) == {2, 4, 6}
     else:
         assert os.path.exists(os.path.join(ck, "state_4.npz"))
+
+
+def test_npz_restore_fills_missing_fields_from_template(tmp_path, tiny):
+    # A checkpoint written before a field was added to MFState must still
+    # resume: absent leaves fall back to the template's fresh-init values.
+    ds, dd = tiny
+    cfg = Config(dim=8)
+    m = get_model("ials", cfg, ds.num_users, ds.num_items)
+    m.initialize(dd)
+
+    mgr = CheckpointManager(str(tmp_path))
+    mgr._mgr = None  # npz path
+    mgr.save(m.state, epoch=3)
+    # rewrite the npz without the eig_* fields (an "old" checkpoint)
+    import os
+
+    path = os.path.join(str(tmp_path), "state_3.npz")
+    data = dict(np.load(path))
+    data.pop("eig_qu"), data.pop("eig_qv")
+    np.savez(path, **data)
+
+    m2 = get_model("ials", cfg, ds.num_users, ds.num_items)
+    restored, epoch = mgr.restore(m2.state)
+    assert epoch == 3
+    np.testing.assert_array_equal(np.asarray(restored.user_emb),
+                                  np.asarray(m.state.user_emb))
+    np.testing.assert_array_equal(np.asarray(restored.eig_qu),
+                                  np.asarray(m2.state.eig_qu))
+
+
+def test_npz_prunes_to_three(tmp_path, tiny):
+    import os
+
+    ds, dd = tiny
+    m = get_model("ials", Config(dim=8), ds.num_users, ds.num_items)
+    m.initialize(dd)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr._mgr = None
+    for e in range(1, 6):
+        mgr.save(m.state, epoch=e)
+    kept = sorted(p for p in os.listdir(str(tmp_path))
+                  if p.startswith("state_"))
+    assert kept == ["state_3.npz", "state_4.npz", "state_5.npz"]
+    restored, epoch = mgr.restore(m.state)
+    assert epoch == 5
+
+
+def test_orbax_restore_fills_missing_fields_from_template(tmp_path, tiny):
+    # Same forward-compat contract on the orbax backend: a checkpoint
+    # saved before a field existed restores the rest from the template.
+    from safer2_recommender_tpu.checkpoint import _field_dict
+
+    ds, dd = tiny
+    cfg = Config(dim=8)
+    m = get_model("ials", cfg, ds.num_users, ds.num_items)
+    m.initialize(dd)
+    mgr = CheckpointManager(str(tmp_path))
+    if mgr._mgr is None:
+        import pytest
+
+        pytest.skip("orbax unavailable")
+    old = {k: v for k, v in _field_dict(m.state).items()
+           if not k.startswith("eig_")}
+    mgr._mgr.save(5, args=mgr._ocp.args.StandardSave(old))
+    mgr._mgr.wait_until_finished()
+
+    m2 = get_model("ials", cfg, ds.num_users, ds.num_items)
+    restored, epoch = mgr.restore(m2.state)
+    assert epoch == 5
+    np.testing.assert_array_equal(np.asarray(restored.user_emb),
+                                  np.asarray(m.state.user_emb))
+    np.testing.assert_array_equal(np.asarray(restored.eig_qu),
+                                  np.asarray(m2.state.eig_qu))
