@@ -185,6 +185,10 @@ def main(argv=None) -> int:
 
     mesh = None
     if args.mesh:
+        if args.mesh > len(jax.devices()):
+            raise SystemExit(
+                f"--mesh {args.mesh} exceeds the {len(jax.devices())} "
+                "available devices")
         mesh = get_mesh(jax.devices()[: args.mesh])
     elif args.distributed:
         mesh = get_mesh()          # all global devices across hosts
@@ -192,6 +196,14 @@ def main(argv=None) -> int:
     train = Dataset.from_csv(args.train_data)
     test_tr = Dataset.from_csv(args.test_train_data)
     test_te = Dataset.from_csv(args.test_test_data)
+    for name, ds in (("--test_train_data", test_tr),
+                     ("--test_test_data", test_te)):
+        # an out-of-range item id would silently clamp in the device
+        # gather (wrong embedding) or collide with the padding sentinel
+        if ds.item_ids.size and int(ds.item_ids.max()) >= train.num_items:
+            raise SystemExit(
+                f"{name} contains item id {int(ds.item_ids.max())} "
+                f">= the training catalog size {train.num_items}")
 
     dd = DeviceData.build(train, mesh=mesh, dim=args.dim)
     fold = FoldInData.build(test_tr, test_te, num_items=train.num_items,
@@ -202,19 +214,20 @@ def main(argv=None) -> int:
     model.set_print_train_stats(bool(args.print_train_stats))
     model.set_print_residual_stats(bool(args.print_residual_stats))
     model.set_print_var_stats(bool(args.print_var_stats))
-    model.initialize(dd)
 
-    ckpt = None
+    ckpt, restored, start_epoch = None, None, 0
     if args.checkpoint_dir:
         from safer2_recommender_tpu.checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(args.checkpoint_dir)
         restored, start_epoch = ckpt.restore(model.state)
-        if restored is not None:
-            model.state = restored
-            log.info("Restored checkpoint at epoch %d", start_epoch)
+    if restored is not None:
+        model.state = restored
+        log.info("Restored checkpoint at epoch %d", start_epoch)
     else:
-        start_epoch = 0
+        # the SAFER-family warm start is a full-dataset device pass —
+        # skip it when a checkpoint overwrites the state anyway
+        model.initialize(dd)
 
     def evaluate(epoch: int) -> None:
         metrics = model.evaluate_dataset(fold, DEFAULT_K_LIST,
@@ -227,6 +240,7 @@ def main(argv=None) -> int:
     prof = (jax.profiler.trace(args.profile_dir) if args.profile_dir
             else contextlib.nullcontext())
     step = max(1, args.epochs_per_dispatch)
+    last_saved = start_epoch
     with prof:
         epoch = start_epoch
         while epoch < cfg.epochs:
@@ -241,6 +255,8 @@ def main(argv=None) -> int:
                     model.train_epoch(dd)
                 else:
                     model.train_epochs(dd, n)
+                    model.sync()   # chained dispatch is async — the
+                    # Timer must cover the device work, not the enqueue
             log.info("Epoch: %d, Timer: Train=%d", epoch + n - 1,
                      t.ms // n)
             if args.print_evaluation_stats:
@@ -248,7 +264,14 @@ def main(argv=None) -> int:
             if ckpt is not None and args.checkpoint_every and (
                     (epoch + n) % args.checkpoint_every == 0):
                 ckpt.save(model.state, epoch + n)
+                last_saved = epoch + n
             epoch += n
+
+    # persist the final state: --checkpoint_every may not divide
+    # --epoch (or may be unset while --checkpoint_dir is given)
+    if ckpt is not None and cfg.epochs > start_epoch and (
+            last_saved != cfg.epochs):
+        ckpt.save(model.state, cfg.epochs)
 
     log.info("Validation Results")
     evaluate(cfg.epochs)

@@ -162,6 +162,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _bucket_edges(max_len: int, min_bucket: int,
                   growth: int) -> Sequence[int]:
+    if min_bucket < 1 or growth < 2:
+        raise ValueError(
+            f"min_bucket >= 1 and growth >= 2 required (got {min_bucket}, "
+            f"{growth}); the width ladder must strictly grow")
     edges = []
     e = min_bucket
     while True:

@@ -140,6 +140,12 @@ def generate_splits(users: np.ndarray, items: np.ndarray, output_dir: str,
     perm = uniq_users[rng.permutation(uniq_users.size)]
     n = perm.size
     h = spec.n_heldout_users
+    if n <= 2 * h:
+        # negative slice starts would silently wrap and corrupt the
+        # heldout populations (empty validation, oversized test)
+        raise ValueError(
+            f"only {n} distinct users after filtering; need more than "
+            f"2 * n_heldout_users = {2 * h} to carve the heldout splits")
     vd_users = set(perm[n - 2 * h: n - h].tolist())
     te_users = set(perm[n - h:].tolist())
 

@@ -142,6 +142,14 @@ class Recommender:
                                             donate_argnums=(0,))
         self.state = self._epochs_scan_jit(self.state, dd, n)
 
+    def sync(self) -> None:
+        """True barrier on the pending state: a concrete scalar fetch.
+
+        ``jax.block_until_ready`` can return before device execution
+        finishes on tunneled runtimes, so timing (or anything that must
+        observe completed work) fetches a value instead."""
+        float(jnp.asarray(self.state.xi))
+
     def train_epoch(self, dd: DeviceData) -> None:
         if self._stats_order == "pre":
             self._log_train_stats(dd)

@@ -161,3 +161,32 @@ def test_orbax_restore_fills_missing_fields_from_template(tmp_path, tiny):
                                   np.asarray(m.state.user_emb))
     np.testing.assert_array_equal(np.asarray(restored.eig_qu),
                                   np.asarray(m2.state.eig_qu))
+
+
+def test_cli_saves_final_checkpoint(tmp_path, tiny):
+    # --checkpoint_every may not divide --epoch (or be unset entirely):
+    # the fully-trained final state must still be persisted.
+    from safer2_recommender_tpu.cli import main as cli_main
+
+    ds, _ = tiny
+    tr = str(tmp_path / "tr.csv")
+    with open(tr, "w") as f:
+        f.write("uid,sid\n")
+        f.writelines(f"{u},{i}\n" for u, i in
+                     zip(ds.user_ids.tolist(), ds.item_ids.tolist()))
+    ck = str(tmp_path / "ck_a")
+    rc = cli_main([
+        "--model_name", "ials", "--train_data", tr,
+        "--test_train_data", tr, "--test_test_data", tr,
+        "--dim", "4", "--epoch", "5",
+        "--checkpoint_dir", ck, "--checkpoint_every", "2"])
+    assert rc == 0
+    assert CheckpointManager(ck).latest_epoch() == 5
+
+    ck2 = str(tmp_path / "ck_b")   # --checkpoint_dir without _every
+    rc = cli_main([
+        "--model_name", "ials", "--train_data", tr,
+        "--test_train_data", tr, "--test_test_data", tr,
+        "--dim", "4", "--epoch", "2", "--checkpoint_dir", ck2])
+    assert rc == 0
+    assert CheckpointManager(ck2).latest_epoch() == 2

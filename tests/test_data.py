@@ -230,3 +230,14 @@ def test_loss_decomposition_streams_wide_buckets(monkeypatch):
     monkeypatch.setattr(assemble, "WIDE_CHUNK", 256)
     wide = decomp()
     np.testing.assert_allclose(wide, dense, rtol=2e-4)
+
+
+def test_bucket_edges_rejects_degenerate_ladder():
+    import pytest
+
+    from safer2_recommender_tpu.data.dataset import _bucket_edges
+
+    with pytest.raises(ValueError):
+        _bucket_edges(100, 8, growth=1)   # would loop forever
+    with pytest.raises(ValueError):
+        _bucket_edges(100, 0, growth=2)

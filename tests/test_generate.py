@@ -67,3 +67,11 @@ def test_cv_seeds_deterministic():
     a, b = generate.cv_seeds(), generate.cv_seeds()
     assert np.array_equal(a, b)
     assert len(a) == 50
+
+
+def test_generate_splits_rejects_too_few_users(tmp_path, raw):
+    users, items = raw
+    spec = generate.DatasetSpec(n_heldout_users=10**6, min_uc=1, min_sc=1,
+                                binarize=False)
+    with pytest.raises(ValueError, match="heldout"):
+        generate.generate_splits(users, items, str(tmp_path), spec)
