@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
 from safer2_recommender_tpu.models.base import (MFState, Recommender,
-                                                  SaferFamilyMixin)
+                                                  SaferFamilyMixin, _log)
 from safer2_recommender_tpu.ops import assemble, quantile, woodbury
 
 
@@ -28,11 +28,9 @@ class CVaRMF(SaferFamilyMixin, Recommender):
 
     def _log_epoch_lines(self) -> None:
         # reference cvar_mf.h:301-303, :327-328
-        import logging
-        log = logging.getLogger("safer2_recommender_tpu")
         self._log_weighted_loss()
-        log.info("Mean weights: %s", self.get_mean_weight())
-        log.info("Xi:%s", float(self.state.xi))
+        _log.info("Mean weights: %s", self.get_mean_weight())
+        _log.info("Xi:%s", float(self.state.xi))
 
     def _grad_step_u(self, ue, item_emb, gramian, buckets, dual,
                      pre_list=None):

@@ -75,7 +75,7 @@ class IALSpp(Recommender):
         loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
                                   self.cfg.uobs_weight, halve=False, dtype=self.asm_dtype)
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
-                             user_loss=loss)
+                             user_loss=loss, steps=state.steps + 1)
 
     def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
         """8 blockwise fold-in epochs (reference ialspp.h:149-206),

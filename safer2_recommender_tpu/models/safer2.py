@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from safer2_recommender_tpu.data.dataset import DeviceData
 from safer2_recommender_tpu.models import common
 from safer2_recommender_tpu.models.base import (MFState, Recommender,
-                                                  SaferFamilyMixin)
+                                                  SaferFamilyMixin, _log)
 from safer2_recommender_tpu.ops import quantile, smoothing
 
 
@@ -36,9 +36,7 @@ class SAFER2(SaferFamilyMixin, Recommender):
     def _log_epoch_lines(self) -> None:
         # reference safer2.h:300-301, :332
         self._log_weighted_loss()
-        import logging
-        logging.getLogger("safer2_recommender_tpu").info(
-            "Xi:%s", float(self.state.xi))
+        _log.info("Xi:%s", float(self.state.xi))
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         """One Train call, phase-shifted so the loss pass shares the
@@ -64,7 +62,18 @@ class SAFER2(SaferFamilyMixin, Recommender):
         gram = state.item_gramian
         dual, xi, key = state.dual_weight, state.xi, state.key
         eq_u, eq_v = state.eig_qu, state.eig_qv
-        loss = state.user_loss           # pd_iterations == 0 degenerates
+        loss = state.user_loss
+        if cfg.pd_iterations == 0:
+            # The reference still runs the trailing ComputeXi on the
+            # carried loss when the pd loop is empty (safer2.h:331-334);
+            # phase-shifted here that is the leading xi pass alone.
+            warm = jnp.where(state.steps == 0, jnp.mean(loss), xi)
+            key, sub = jax.random.split(key)
+            xi = quantile.compute_xi(
+                loss, warm, sub, nr_iterations=cfg.xi_iterations,
+                bandwidth=cfg.bandwidth, alpha=cfg.alpha,
+                use_epanechnikov=cfg.use_epanechnikov,
+                use_snr=cfg.use_snr, sampling_ratio=cfg.sampling_ratio)
         for t in range(cfg.pd_iterations):
             loss, pre = common.gather_and_losses(
                 v, dd.by_user, u, gram, dd.num_users, cfg.uobs_weight,

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
 from safer2_recommender_tpu.models.base import (MFState, Recommender,
-                                                  SaferFamilyMixin)
+                                                  SaferFamilyMixin, _log)
 from safer2_recommender_tpu.ops import quantile, smoothing
 
 
@@ -40,9 +40,7 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
     def _log_epoch_lines(self) -> None:
         # reference safer2pp.h:325-326, :353
         self._log_weighted_loss()
-        import logging
-        logging.getLogger("safer2_recommender_tpu").info(
-            "Xi:%s", float(self.state.xi))
+        _log.info("Xi:%s", float(self.state.xi))
 
     def _block_sweep_u(self, u, v, buckets, s, bs, dual):
         """``s`` may be a traced block offset (scanned blocks); ``bs``
@@ -110,7 +108,7 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
             sampling_ratio=cfg.sampling_ratio)
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
                              user_loss=loss, dual_weight=dual, xi=xi,
-                             key=key)
+                             key=key, steps=state.steps + 1)
 
     def initialize(self, dd: DeviceData) -> None:
         """Initial losses + xi warm start (reference safer2pp.h:885-912;

@@ -45,7 +45,12 @@ def xi_direction(xi: jax.Array, losses: jax.Array, *, bandwidth: float,
     kw = dict(bandwidth=bandwidth, alpha=alpha,
               use_epanechnikov=use_epanechnikov)
     f0, g0, h0 = evaluate_quantile(xi, losses, **kw)
-    d = g0 / h0
+    # The Epanechnikov kernel's compact support makes the Hessian exactly
+    # zero when no loss lies within bandwidth of xi (likelier under SNR
+    # subsampling); the reference divides anyway (safer2.h:697) and xi
+    # becomes inf permanently. Take no step instead — stalling until the
+    # losses move is recoverable, an infinite xi is not.
+    d = jnp.where(h0 > 0, g0 / jnp.where(h0 > 0, h0, 1.0), 0.0)
 
     def armijo_fails(gamma):
         x = xi + gamma * (-d)
@@ -103,7 +108,9 @@ def exact_quantile(losses: jax.Array, alpha: float) -> jax.Array:
     position Q = n*alpha; returns -vals[Q].
     """
     n = losses.shape[0]
-    q = int(n * alpha)
+    # alpha == 1.0 would index one past the end (the reference's
+    # nth_element reads out of bounds there); clamp to the smallest loss.
+    q = min(int(n * alpha), n - 1)
     # sort descending, take index q
     top = jax.lax.top_k(losses, q + 1)[0]
     return top[q]

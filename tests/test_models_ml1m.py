@@ -222,16 +222,31 @@ def test_use_cg_epoch_matches_exact():
 
 
 def test_safer2_zero_pd_iterations_degenerates(tiny):
-    # --pd_iterations 0 must be a no-op epoch, not an UnboundLocalError.
+    # --pd_iterations 0 must leave the embeddings untouched, but the
+    # reference's trailing ComputeXi still runs every Train call
+    # (safer2.h:331-334): xi must converge to the carried loss's
+    # smoothed quantile, not stay at its init value.
     import numpy as np
 
+    from safer2_recommender_tpu.ops import quantile
+
     ds, dd = tiny
-    m = get_model("safer2", Config(dim=8, pd_iterations=0),
-                  ds.num_users, ds.num_items)
+    cfg = Config(dim=8, pd_iterations=0, bandwidth=0.3)
+    m = get_model("safer2", cfg, ds.num_users, ds.num_items)
     m.initialize(dd)
     before = np.asarray(m.state.user_emb)
-    m.train_epoch(dd)
+    for _ in range(4):
+        m.train_epoch(dd)
     np.testing.assert_array_equal(np.asarray(m.state.user_emb), before)
+    loss = m.state.user_loss
+    import jax
+    import jax.numpy as jnp
+
+    want = quantile.compute_xi(
+        loss, jnp.mean(loss), jax.random.PRNGKey(0), nr_iterations=40,
+        bandwidth=cfg.bandwidth, alpha=cfg.alpha, use_epanechnikov=False,
+        use_snr=False, sampling_ratio=0.1)
+    np.testing.assert_allclose(float(m.state.xi), float(want), atol=5e-3)
 
 
 def test_chained_epochs_match_per_epoch_training(tiny):
