@@ -101,8 +101,20 @@ def tie_bucket(b: Bucket, carry) -> Bucket:
     chain; inside a rolled loop it is free.
     """
     leaf = jax.tree_util.tree_leaves(carry)[0]
-    tok = (leaf.ravel()[0].astype(jnp.float32) == jnp.inf).astype(jnp.int32)
-    return dataclasses.replace(b, col_ids=b.col_ids + tok)
+    return dataclasses.replace(b, col_ids=b.col_ids + zero_token(leaf)[0])
+
+
+def zero_token(arr):
+    """(int32, float32) zeros that XLA cannot constant-fold away, even
+    when ``arr`` holds inf/NaN (a diverging run must stay a visibly
+    diverging run, not silently corrupt gather indices): the isfinite
+    guard pins non-finite values to 0 and a guaranteed-finite value
+    times 0.0 is exactly 0, but XLA cannot prove the operand finite so
+    the data dependency survives."""
+    v = arr.ravel()[0].astype(jnp.float32)
+    v = jnp.where(jnp.isfinite(v), v, 0.0)
+    t = (v * 0.0).astype(jnp.int32)
+    return t, t.astype(jnp.float32)
 
 
 def group_same_shape(buckets):
@@ -228,9 +240,7 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
     token = jnp.int32(0)
     ftoken = jnp.float32(0.0)
 
-    def bump(arr):
-        t = (arr.ravel()[0] == jnp.inf).astype(jnp.int32)    # always 0
-        return t, t.astype(jnp.float32)
+    bump = zero_token
 
     groups = group_same_shape(buckets)
     if pre_list is None:
@@ -468,9 +478,9 @@ def block_solve_sweep(table: jax.Array, buckets, assemble_fn,
     """One blockwise delta-solve sweep over all buckets with a single
     batched solve (same op-count rationale as ``solve_sweep``).
 
-    ``assemble_fn(bucket) -> (a, rhs, x_loc, ridge)`` (the ridge rides
+    ``assemble_fn(bucket) -> (a, rhs, x_full, ridge)`` (the ridge rides
     the solver's lazy diagonal shift); the new local rows are
-    ``x_loc - A^-1 rhs``. ``s`` is the block's column offset — a Python
+    ``x_full[:, s:s+bs] - A^-1 rhs``. ``s`` is the block's column offset — a Python
     int OR a traced scalar (the ++ models scan one shared sweep body
     over all uniform blocks; an unrolled per-block op chain made dim-512
     programs take minutes to compile); ``bs`` is the static block size.
@@ -489,15 +499,25 @@ def block_solve_sweep(table: jax.Array, buckets, assemble_fn,
             continue
 
         def body(tbl, b):
-            a, rhs, x_loc, ridge = assemble_fn(tie_bucket(b, tbl))
+            a, rhs, x_full, ridge = assemble_fn(tie_bucket(b, tbl))
             d_b = -solve.cholesky_solve(a, rhs, ridge)
-            return write_block(tbl, b, s, x_loc + d_b), None
+            x_loc = jax.lax.dynamic_slice_in_dim(x_full, s, bs, axis=1)
+            return write_block(tbl, b, s, x_loc + d_b, x_full), None
 
         table, _ = jax.lax.scan(body, table, g.stack)
 
     for group in _solve_groups(singles, bs,
                                gather_dim=table.shape[1]):
-        systems = [assemble_fn(b) for b in group]
+        # Tie each group's gathers to the carried table (data-dependent
+        # on every previous write_block): assemble_fn reads only the
+        # frozen closure tables, so without the token nothing orders one
+        # budget-capped group's [N, L, d] slabs after the previous
+        # group's solve and XLA schedules them all live at once (the
+        # same OOM class solve_sweep's tokens prevent).
+        tok = zero_token(table)[0]
+        systems = [assemble_fn(
+            dataclasses.replace(b, col_ids=b.col_ids + tok))
+            for b in group]
         if len(group) == 1:
             a, rhs, ridge = systems[0][0], systems[0][1], systems[0][3]
         else:
@@ -506,10 +526,11 @@ def block_solve_sweep(table: jax.Array, buckets, assemble_fn,
             ridge = jnp.concatenate([t[3] for t in systems], axis=0)
         delta = -solve.cholesky_solve(a, rhs, ridge)
         ofs = 0
-        for b, (_, _, x_loc, _r) in zip(group, systems):
+        for b, (_, _, x_full, _r) in zip(group, systems):
             d_b = delta[ofs:ofs + b.n_rows]
             ofs += b.n_rows
-            table = write_block(table, b, s, x_loc + d_b)
+            x_loc = jax.lax.dynamic_slice_in_dim(x_full, s, bs, axis=1)
+            table = write_block(table, b, s, x_loc + d_b, x_full)
     return table
 
 
@@ -552,7 +573,7 @@ def block_assemble_unweighted(
         rhs = assemble.row_sums(emb_loc, col_weight=resid)
     a = a + uobs * g_loc[None].astype(a.dtype)
     rhs = rhs + uobs * (x_full @ g_lg.T) + reg_rows[:, None] * x_loc
-    return a, rhs, x_loc, reg_rows
+    return a, rhs, x_full, reg_rows
 
 
 def block_assemble_user_safer(
@@ -588,7 +609,7 @@ def block_assemble_user_safer(
     rhs = rhs * (w * inv_len)[:, None]
     rhs = rhs + (uobs * w)[:, None] * (x_full @ g_lg.T)
     rhs = rhs + reg_rows[:, None] * x_loc
-    return a, rhs, x_loc, reg_rows
+    return a, rhs, x_full, reg_rows
 
 
 def block_assemble_item_safer(
@@ -619,14 +640,17 @@ def block_assemble_item_safer(
         rhs = assemble.row_sums(emb_loc, col_weight=wt * resid)
     a = a + uobs * g_loc_w[None].astype(a.dtype)
     rhs = rhs + uobs * (x_full @ g_lg_w.T) + reg_rows[:, None] * x_loc
-    return a, rhs, x_loc, reg_rows
+    return a, rhs, x_full, reg_rows
 
 
 def write_block(table: jax.Array, bucket: Bucket, s,
-                new_loc: jax.Array) -> jax.Array:
+                new_loc: jax.Array, rows: jax.Array) -> jax.Array:
     """Scatter new local columns back into full rows (``s`` may be a
-    traced block offset)."""
-    rows = table[bucket.row_ids]
+    traced block offset). ``rows`` is the bucket's already-gathered
+    ``table[bucket.row_ids]`` — every assemble function gathers it for
+    the residual/reg terms, and row sets are disjoint within a sweep so
+    the values cannot be stale; re-gathering here doubled the full-row
+    gather traffic of every block sweep."""
     rows = jax.lax.dynamic_update_slice_in_dim(rows, new_loc, s, axis=1)
     return assemble.scatter_rows(table, bucket.row_ids, rows)
 
@@ -647,24 +671,13 @@ def user_losses(user_emb: jax.Array, item_emb: jax.Array,
     flat prediction cache (safer2pp.h:80-95); here predictions are
     always recomputed — same values, one row gather + multiply-reduce
     pass. Absent users keep loss 0.
-    """
-    def body(out, b, _):
-        u = user_emb[b.row_ids]
-        if assemble.is_wide(b, item_emb.shape[1]):
-            t = item_emb if dtype is None else item_emb.astype(dtype)
-            obs = assemble.wide_obs(t, b, u) / safe_len(b)
-        else:
-            emb, mask = assemble.gather_history(item_emb, b, dtype)
-            p = assemble.rowwise_dot(emb, u)
-            obs = jnp.sum(jnp.square(p - 1.0) * mask, axis=1) / safe_len(b)
-        quad = uobs * jnp.einsum("nd,de,ne->n", u, gramian, u)
-        loss = obs + quad
-        if halve:
-            loss = loss * 0.5
-        return assemble.scatter_vector(out, b.row_ids, loss)
 
-    return sweep_apply(by_user, None,
-                       jnp.zeros((num_users,), dtype=jnp.float32), body)
+    One implementation: this is ``gather_and_losses`` with slab-keeping
+    disabled (budget 0 forces the re-gather path and a None pre_list).
+    """
+    return gather_and_losses(item_emb, by_user, user_emb, gramian,
+                             num_users, uobs, halve=halve, dtype=dtype,
+                             budget_bytes=0)[0]
 
 
 # Keep the loss pass's gathered [N, L, d] slabs alive for reuse by the

@@ -274,21 +274,6 @@ def rowwise_dot(emb: jax.Array, vec: jax.Array) -> jax.Array:
     return jnp.sum(emb * vec[:, None, :], axis=2)
 
 
-def add_ridge(a: jax.Array, reg: jax.Array) -> jax.Array:
-    """A += reg * I for a batch: a [N, d, d], reg [N] (or scalar).
-
-    Implemented as a diagonal scatter-add, not ``a + reg * eye``: the
-    broadcast form is a full memory-bound pass over the [N, d, d] slab
-    (several ms/epoch at dim 512) while the diagonal touches N*d
-    elements."""
-    d = a.shape[-1]
-    reg = jnp.asarray(reg, dtype=a.dtype)
-    if reg.ndim == 0:
-        reg = jnp.broadcast_to(reg, (a.shape[0],))
-    idx = jnp.arange(d)
-    return a.at[:, idx, idx].add(reg[:, None])
-
-
 def scatter_rows(table: jax.Array, row_ids: jax.Array,
                  values: jax.Array) -> jax.Array:
     """Write solved rows back; padded row_ids are out of bounds -> dropped.

@@ -64,8 +64,14 @@ def put(x, sharding):
     if jax.process_count() > 1 and any(
             d.process_index != jax.process_index()
             for d in sharding.mesh.devices.flat):
+        # global_shape must be passed explicitly: without it the helper
+        # assumes each process holds only ITS slice and scales the
+        # sharded dimension by process_count — but every host here has
+        # the same full array, so that would concatenate the copies
+        # (every bucket process_count-times too long).
+        x = np.asarray(x)
         return jax.make_array_from_process_local_data(
-            sharding, np.asarray(x))
+            sharding, x, global_shape=x.shape)
     return jax.device_put(x, sharding)
 
 
