@@ -278,8 +278,18 @@ def _bucket_budgets(dim: int, budget_bytes: int) -> Tuple[int, int]:
 
 
 def _csr_views(ids: np.ndarray, other: np.ndarray):
-    """Stable sort tuples by ``ids``; returns (sorted ids, other)."""
-    order = np.argsort(ids, kind="stable")
+    """Group tuples by ``ids``; returns (grouped ids, other).
+
+    Within-group order is free: a row's history is a SET — bucket
+    assembly only segment-sums over it, so column order never changes
+    the math (only float summation order, at ULP level). That buys two
+    host-time wins at MSD scale (~20M tuples, one core): the by-user
+    view is usually already grouped (CSV order / generators emit
+    user-major) and costs one O(n) check, and the by-item view can use
+    introsort argsort (~2x numpy's stable radix at 20M keys)."""
+    if ids.size == 0 or bool((ids[1:] >= ids[:-1]).all()):
+        return ids, other
+    order = np.argsort(ids)
     return ids[order], other[order]
 
 
