@@ -30,10 +30,12 @@ MODEL_CHOICES = ("ials", "ialspp", "safer2", "safer2pp", "cvar_mf",
 
 
 def _existing_file(path: str) -> str:
-    """Path validation (reference CLI::ExistingFile, run_model.cc:218)."""
+    """Path validation (reference CLI::ExistingFile, run_model.cc:218).
+    ``foo.csv`` with only ``foo.csv.gz`` present passes — Dataset.from_csv
+    reads the gzipped twin (the in-repo ML-1M fixture ships gzipped)."""
     import os
 
-    if not os.path.isfile(path):
+    if not os.path.isfile(path) and not os.path.isfile(path + ".gz"):
         raise argparse.ArgumentTypeError(f"File does not exist: {path}")
     return path
 

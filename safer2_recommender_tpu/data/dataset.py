@@ -11,7 +11,7 @@ ialspp.h:210-216). That cache — and with it any per-tuple indexing — is
 deliberately absent here: on TPU, per-tuple (element) gathers/scatters
 are ~100x slower per value than row gathers, so the blockwise models
 recompute predictions from the live tables instead
-(models/common.py::block_assemble_unweighted). Both adjacency views
+(models/common.py::block_sweep_frozen). Both adjacency views
 carry only (row, col, length).
 
 TPU-native design
@@ -124,6 +124,16 @@ class Dataset:
 
     @classmethod
     def from_csv(cls, path: str) -> "Dataset":
+        """Read a 2-column uid,sid CSV (reference dataset.h:71-99).
+
+        A missing ``foo.csv`` falls back to ``foo.csv.gz`` (the in-repo
+        ML-1M test fixture ships gzipped); the mmap native reader only
+        handles plain files, gz goes through pandas/numpy.
+        """
+        import os
+
+        if not os.path.exists(path) and os.path.exists(path + ".gz"):
+            return cls(*_read_csv_python(path + ".gz"))
         out = _read_csv_native(path)
         if out is None:
             out = _read_csv_python(path)

@@ -451,208 +451,163 @@ def params_weighted_item(table_other: jax.Array, bucket: Bucket,
 # --------------------------------------------------------------------------
 
 
-def blockwise(carry, dim: int, bs: int, body, repeats: int = 1):
-    """Drive ``body(carry, s, bs_static) -> carry`` over every embedding
-    block (times ``repeats`` epochs for the blockwise eval fold-in).
+@dataclasses.dataclass(frozen=True)
+class BlockSpec:
+    """Per-row coefficients of one bucket's block delta systems:
 
-    Uniform blocks (dim % bs == 0) run as ONE ``lax.scan`` over the
-    traced block offsets so the sweep's op graph appears once — the
-    unrolled per-block chain made dim-512 programs take minutes to
-    compile. A ragged tail block forces the unrolled path (offsets must
-    then be static because the tail's width differs).
+        A   = ch * (sum_h wt v_loc v_loc^T) + cg * G_loc + reg * I
+        rhs = ch * (sum_h wt v_loc (pred-1)) + cg * (G_lg @ x_full)
+              + reg * x_loc
+        x_loc <- x_loc - A^-1 rhs
+
+    One parameterization covers all three reference variants:
+    iALS++ (ialspp.h:85-145): ch=1, cg=uobs, wt=mask;
+    SAFER2++ user (safer2pp.h:97-159): ch=w/|H|, cg=w*uobs, wt=mask;
+    SAFER2++ item (safer2pp.h:161-216): ch=1, cg=uobs, wt=z/|H| per slot.
+    ``reg`` rides the solver's lazy diagonal shift, never a slab add.
     """
-    if dim % bs == 0:
-        offs = jnp.arange(0, dim, bs)
-        if repeats > 1:
-            offs = jnp.tile(offs, repeats)
-        return jax.lax.scan(lambda c, s: (body(c, s, bs), None),
-                            carry, offs)[0]
-    for _ in range(repeats):
-        for s in range(0, dim, bs):
-            carry = body(carry, s, min(s + bs, dim) - s)
-    return carry
+
+    cg: jax.Array             # [N] coefficient of the frozen-side Gramian
+    reg: jax.Array            # [N] ridge
+    ch: jax.Array = None      # [N] history-term coefficient (None = 1)
 
 
-def block_solve_sweep(table: jax.Array, buckets, assemble_fn,
-                      s, bs: int) -> jax.Array:
-    """One blockwise delta-solve sweep over all buckets with a single
-    batched solve (same op-count rationale as ``solve_sweep``).
+def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
+                       *, bs: int, n_sweeps: int = 1, dtype=None,
+                       extra_vec=None):
+    """Blockwise coordinate sweep(s) of one side against the FROZEN
+    other side — the ++ models' hot loop.
 
-    ``assemble_fn(bucket) -> (a, rhs, x_full, ridge)`` (the ridge rides
-    the solver's lazy diagonal shift); the new local rows are
-    ``x_full[:, s:s+bs] - A^-1 rhs``. ``s`` is the block's column offset — a Python
-    int OR a traced scalar (the ++ models scan one shared sweep body
-    over all uniform blocks; an unrolled per-block op chain made dim-512
-    programs take minutes to compile); ``bs`` is the static block size.
-    There is NO prediction cache: the residual inside ``rhs`` is
-    recomputed from the live tables by the assemble functions (see
-    ``block_assemble_unweighted`` for why that beats the reference's
-    cache on TPU).
+    Structured bucket-outer / block-inner: each bucket gathers its
+    [N, L, d] history slab ONCE and every block (of every sweep, for the
+    fold-in's ``n_sweeps=8``) slices it, with per-slot predictions
+    maintained incrementally — the TPU-native equivalent of the
+    reference's flat prediction cache (ialspp.h:399-406,
+    safer2pp.h:504-508), but slab-local: no per-tuple scatters, and the
+    drift resets every sweep because pred is recomputed from the live
+    tables at sweep start. The previous design re-gathered the full
+    slab for EVERY block (d/bs full passes per side per sweep) and was
+    4.4x slower than the exact solver at dim 512 (VERDICT round 1);
+    this one does ~2 full-width passes per side per sweep.
+
+    Ordering divergence from the reference: the reference interleaves
+    StepU(block)/StepV(block) (ialspp.h:220-239, safer2pp.h:303-319),
+    so a U block sees the previous V blocks' updates from the same pd
+    iteration. Freezing the other side runs all blocks of U, then all
+    blocks of V — the same per-block systems against the sweep-start
+    other table (block-Jacobi across sides, Gauss-Seidel within a
+    side). Both are valid block coordinate descent on the same
+    objective; measured quality is inside reference reseed noise
+    (BASELINE.md head-to-head, PARITY.md).
+
+    ``gram`` is the FULL Gramian of ``table_other`` (dual-weighted for
+    the SAFER2++ item sweep): the per-block G_loc/G_lg of the reference
+    are slices of it since the other side is frozen. ``spec_fn(bucket)
+    -> BlockSpec`` supplies the per-row coefficients; ``extra_vec``
+    routes a per-column weight (the item sweep's z/|H|) through the
+    fused slab gather. Zipf-head rows whose slab cannot materialize
+    instead stream ONE full normal-equation pass (S, r0) and solve every
+    block from slices of it (``assemble.wide_gram_resid``).
     """
     if not buckets:
-        return table
-    groups = group_same_shape(buckets)
-    singles = [g for g in groups if isinstance(g, Bucket)]
+        return table_self
+    dim = table_self.shape[1]
 
-    for g in groups:
-        if isinstance(g, Bucket):
-            continue
+    def gather(b):
+        if extra_vec is None:
+            emb, mask = assemble.gather_history(table_other, b, dtype)
+            return emb, mask, None
+        return assemble.gather_history_extra(table_other, extra_vec, b,
+                                             dtype)
 
-        def body(tbl, b):
-            a, rhs, x_full, ridge = assemble_fn(tie_bucket(b, tbl))
-            d_b = -solve.cholesky_solve(a, rhs, ridge)
-            x_loc = jax.lax.dynamic_slice_in_dim(x_full, s, bs, axis=1)
-            return write_block(tbl, b, s, x_loc + d_b, x_full), None
+    def run_blocks(carry, blk):
+        """Drive blk(carry, s, bs_static) over n_sweeps x blocks; one
+        lax.scan when blocks are uniform (the unrolled per-block chain
+        made dim-512 programs take minutes to compile)."""
+        if dim % bs == 0:
+            offs = jnp.tile(jnp.arange(0, dim, bs), n_sweeps)
+            return jax.lax.scan(lambda c, s: (blk(c, s, bs), None),
+                                carry, offs)[0]
+        for _ in range(n_sweeps):
+            for s in range(0, dim, bs):
+                carry = blk(carry, s, min(s + bs, dim) - s)
+        return carry
 
-        table, _ = jax.lax.scan(body, table, g.stack)
+    def do_narrow(tbl, b):
+        emb, mask, wt = gather(b)
+        spec = spec_fn(b)
+        xf = tbl[b.row_ids]
+        pred = assemble.rowwise_dot(emb, xf)
 
-    for group in _solve_groups(singles, bs,
-                               gather_dim=table.shape[1]):
-        # Tie each group's gathers to the carried table (data-dependent
-        # on every previous write_block): assemble_fn reads only the
-        # frozen closure tables, so without the token nothing orders one
-        # budget-capped group's [N, L, d] slabs after the previous
-        # group's solve and XLA schedules them all live at once (the
-        # same OOM class solve_sweep's tokens prevent).
-        tok = zero_token(table)[0]
-        systems = [assemble_fn(
-            dataclasses.replace(b, col_ids=b.col_ids + tok))
-            for b in group]
-        if len(group) == 1:
-            a, rhs, ridge = systems[0][0], systems[0][1], systems[0][3]
-        else:
-            a = jnp.concatenate([t[0] for t in systems], axis=0)
-            rhs = jnp.concatenate([t[1] for t in systems], axis=0)
-            ridge = jnp.concatenate([t[3] for t in systems], axis=0)
-        delta = -solve.cholesky_solve(a, rhs, ridge)
-        ofs = 0
-        for b, (_, _, x_full, _r) in zip(group, systems):
-            d_b = delta[ofs:ofs + b.n_rows]
-            ofs += b.n_rows
-            x_loc = jax.lax.dynamic_slice_in_dim(x_full, s, bs, axis=1)
-            table = write_block(table, b, s, x_loc + d_b, x_full)
-    return table
+        def blk(carry, s, bsz):
+            xf, pred = carry
+            emb_loc = jax.lax.dynamic_slice_in_dim(emb, s, bsz, axis=2)
+            x_loc = jax.lax.dynamic_slice_in_dim(xf, s, bsz, axis=1)
+            g_loc = jax.lax.dynamic_slice(gram, (s, s), (bsz, bsz))
+            g_lg = jax.lax.dynamic_slice(gram, (s, 0), (bsz, dim))
+            resid = pred - mask
+            a = assemble.row_gramians(emb_loc, col_weight=wt)
+            rhs = assemble.row_sums(
+                emb_loc, col_weight=resid if wt is None else wt * resid)
+            if spec.ch is not None:
+                a = a * spec.ch[:, None, None]
+                rhs = rhs * spec.ch[:, None]
+            a = a + spec.cg[:, None, None] * g_loc[None]
+            rhs = (rhs + spec.cg[:, None] * (xf @ g_lg.T)
+                   + spec.reg[:, None] * x_loc)
+            delta = -solve.cholesky_solve(a, rhs, spec.reg)
+            pred = pred + jnp.sum(emb_loc * delta[:, None, :], axis=2)
+            xf = jax.lax.dynamic_update_slice_in_dim(xf, x_loc + delta,
+                                                     s, axis=1)
+            return xf, pred
 
+        xf, _ = run_blocks((xf, pred), blk)
+        return assemble.scatter_rows(tbl, b.row_ids, xf)
 
-def block_assemble_unweighted(
-    table_self: jax.Array, table_other: jax.Array,
-    bucket: Bucket, s, bs: int, g_loc: jax.Array, g_lg: jax.Array,
-    reg_rows: jax.Array, uobs: float, dtype=None,
-):
-    """iALS++ block delta system (reference ialspp.h:85-145).
+    def do_wide(tbl, b):
+        spec = spec_fn(b)
+        xf0 = tbl[b.row_ids]
+        s_full, r0 = assemble.wide_gram_resid(table_other, b, xf0,
+                                              extra_vec=extra_vec,
+                                              dtype=dtype)
+        n = b.n_rows
 
-    A = uobs * G_loc + reg * I + sum_h v_loc v_loc^T
-    rhs = sum_h v_loc (pred_t - 1) + uobs * G_lg @ x_full + reg * x_loc
+        def blk(xf, s, bsz):
+            x_loc = jax.lax.dynamic_slice_in_dim(xf, s, bsz, axis=1)
+            g_loc = jax.lax.dynamic_slice(gram, (s, s), (bsz, bsz))
+            g_lg = jax.lax.dynamic_slice(gram, (s, 0), (bsz, dim))
+            s_ss = jax.lax.dynamic_slice(s_full, (0, s, s), (n, bsz, bsz))
+            s_row = jax.lax.dynamic_slice(s_full, (0, s, 0), (n, bsz, dim))
+            # pred is linear in xf: hist term = r0_loc + (S @ (xf-xf0))_loc
+            r_s = (jax.lax.dynamic_slice_in_dim(r0, s, bsz, axis=1)
+                   + jnp.sum(s_row * (xf - xf0)[:, None, :], axis=2))
+            a, rhs = s_ss, r_s
+            if spec.ch is not None:
+                a = a * spec.ch[:, None, None]
+                rhs = rhs * spec.ch[:, None]
+            a = a + spec.cg[:, None, None] * g_loc[None]
+            rhs = (rhs + spec.cg[:, None] * (xf @ g_lg.T)
+                   + spec.reg[:, None] * x_loc)
+            delta = -solve.cholesky_solve(a, rhs, spec.reg)
+            return jax.lax.dynamic_update_slice_in_dim(
+                xf, x_loc + delta, s, axis=1)
 
-    The reference keeps ``pred_t`` in a flat per-tuple cache advanced
-    after every block solve (ialspp.h:399-406) because recomputing a
-    full dot per tuple costs O(d/bs) more scalar FLOPs per epoch on a
-    CPU. On TPU the trade inverts: a row gather costs ~2.2ns *per row
-    regardless of width*, so gathering the FULL-width rows instead of
-    the bs-wide block costs almost nothing extra, and recomputing
-    ``pred = <v_full, x_full>`` is one memory-bound multiply+reduce over
-    a slab that is already live — while the cache's by-item accesses
-    are per-ELEMENT gathers/scatter-adds, measured ~100x slower per
-    touched value (docs/PERFORMANCE.md). Recomputation also removes the
-    cache's accumulated-delta float drift: predictions are always exact
-    dots of the live tables.
+        xf = run_blocks(xf0, blk)
+        return assemble.scatter_rows(tbl, b.row_ids, xf)
 
-    ``s``/``bs``: block column offset (traced scalar or int) and static
-    block size — see ``block_solve_sweep``.
-    """
-    x_full = table_self[bucket.row_ids]
-    x_loc = jax.lax.dynamic_slice_in_dim(x_full, s, bs, axis=1)
-    if assemble.is_wide(bucket, table_other.shape[1]):
-        a, rhs = assemble.wide_block_system(table_other, bucket, x_full,
-                                            s, bs, dtype=dtype)
-    else:
-        emb, mask = assemble.gather_history(table_other, bucket, dtype)
-        emb_loc = jax.lax.dynamic_slice_in_dim(emb, s, bs, axis=2)
-        resid = assemble.rowwise_dot(emb, x_full) - mask       # pred - 1
-        a = assemble.row_gramians(emb_loc)
-        rhs = assemble.row_sums(emb_loc, col_weight=resid)
-    a = a + uobs * g_loc[None].astype(a.dtype)
-    rhs = rhs + uobs * (x_full @ g_lg.T) + reg_rows[:, None] * x_loc
-    return a, rhs, x_full, reg_rows
+    def do_bucket(tbl, b):
+        # Tie the slab gather to the carried table: the gather reads
+        # only the frozen other side, so without the token nothing
+        # orders one bucket's [N, L, d] slab after the previous
+        # bucket's solve and XLA schedules them all live at once (the
+        # OOM class solve_sweep's tokens prevent).
+        b = tie_bucket(b, tbl)
+        if assemble.is_wide(b, dim):
+            return do_wide(tbl, b)
+        return do_narrow(tbl, b)
 
-
-def block_assemble_user_safer(
-    table_self: jax.Array, table_other: jax.Array,
-    bucket: Bucket, s, bs: int, g_loc: jax.Array, g_lg: jax.Array,
-    reg_rows: jax.Array, uobs: float, row_weight: jax.Array, dtype=None,
-):
-    """SAFER2++ user block system (reference safer2pp.h:97-159):
-
-    A = w * (sum_h v_loc v_loc^T / |H| + uobs * G_loc) + reg * I
-    rhs = (w/|H|) sum_h v_loc (pred-1) + w * uobs * G_lg @ u_full
-          + reg * u_loc
-
-    ``pred`` is recomputed from the live tables instead of the
-    reference's flat cache (safer2pp.h:504-508) — see
-    ``block_assemble_unweighted`` for why the cache loses on TPU.
-    """
-    x_full = table_self[bucket.row_ids]
-    x_loc = jax.lax.dynamic_slice_in_dim(x_full, s, bs, axis=1)
-    if assemble.is_wide(bucket, table_other.shape[1]):
-        a, rhs = assemble.wide_block_system(table_other, bucket, x_full,
-                                            s, bs, dtype=dtype)
-    else:
-        emb, mask = assemble.gather_history(table_other, bucket, dtype)
-        emb_loc = jax.lax.dynamic_slice_in_dim(emb, s, bs, axis=2)
-        resid = assemble.rowwise_dot(emb, x_full) - mask
-        a = assemble.row_gramians(emb_loc)
-        rhs = assemble.row_sums(emb_loc, col_weight=resid)
-    inv_len = 1.0 / safe_len(bucket)
-    w = row_weight
-    a = a * inv_len[:, None, None]
-    a = (a + uobs * g_loc[None].astype(a.dtype)) * w[:, None, None]
-    rhs = rhs * (w * inv_len)[:, None]
-    rhs = rhs + (uobs * w)[:, None] * (x_full @ g_lg.T)
-    rhs = rhs + reg_rows[:, None] * x_loc
-    return a, rhs, x_full, reg_rows
-
-
-def block_assemble_item_safer(
-    table_self: jax.Array, table_other: jax.Array,
-    bucket: Bucket, s, bs: int, g_loc_w: jax.Array, g_lg_w: jax.Array,
-    reg_rows: jax.Array, uobs: float, norm_dual: jax.Array, dtype=None,
-):
-    """SAFER2++ item block system (reference safer2pp.h:161-216):
-
-    A = uobs * G_loc_w + reg * I + sum_h wt_u u_loc u_loc^T
-    rhs = sum_h wt_u u_loc (pred-1) + uobs * G_lg_w @ v_full + reg * v_loc
-    with G_loc_w/G_lg_w built from the raw-dual-weighted user block;
-    ``pred`` recomputed from the live tables (no cache — see
-    ``block_assemble_unweighted``).
-    """
-    x_full = table_self[bucket.row_ids]
-    x_loc = jax.lax.dynamic_slice_in_dim(x_full, s, bs, axis=1)
-    if assemble.is_wide(bucket, table_other.shape[1]):
-        a, rhs = assemble.wide_block_system(table_other, bucket, x_full,
-                                            s, bs, extra_vec=norm_dual,
-                                            dtype=dtype)
-    else:
-        emb, mask, wt = assemble.gather_history_extra(
-            table_other, norm_dual, bucket, dtype)
-        emb_loc = jax.lax.dynamic_slice_in_dim(emb, s, bs, axis=2)
-        resid = assemble.rowwise_dot(emb, x_full) - mask
-        a = assemble.row_gramians(emb_loc, col_weight=wt)
-        rhs = assemble.row_sums(emb_loc, col_weight=wt * resid)
-    a = a + uobs * g_loc_w[None].astype(a.dtype)
-    rhs = rhs + uobs * (x_full @ g_lg_w.T) + reg_rows[:, None] * x_loc
-    return a, rhs, x_full, reg_rows
-
-
-def write_block(table: jax.Array, bucket: Bucket, s,
-                new_loc: jax.Array, rows: jax.Array) -> jax.Array:
-    """Scatter new local columns back into full rows (``s`` may be a
-    traced block offset). ``rows`` is the bucket's already-gathered
-    ``table[bucket.row_ids]`` — every assemble function gathers it for
-    the residual/reg terms, and row sets are disjoint within a sweep so
-    the values cannot be stale; re-gathering here doubled the full-row
-    gather traffic of every block sweep."""
-    rows = jax.lax.dynamic_update_slice_in_dim(rows, new_loc, s, axis=1)
-    return assemble.scatter_rows(table, bucket.row_ids, rows)
+    return sweep_apply(buckets, None, table_self,
+                       lambda tbl, b, _pre: do_bucket(tbl, b))
 
 
 # --------------------------------------------------------------------------

@@ -8,13 +8,17 @@ delta solves over blocks of size ``block_size``:
   rhs = sum_h v_loc (pred - 1) + uobs * G_lg @ x + reg * x_loc
   x_loc <- x_loc - A^-1 rhs                        (ialspp.h:85-145)
 
-Train epoch = per block {user sweep, item sweep} (ialspp.h:208-261).
+Train epoch = full U block sweep, then full V block sweep — the
+TPU-native reordering of the reference's per-block U/V interleave
+(ialspp.h:208-261): with the other side frozen, every block's
+G_loc/G_lg are slices of ONE Gramian and each bucket's history slab is
+gathered once per sweep instead of once per block (see
+models/common.py::block_sweep_frozen for the equivalence argument).
 The reference's flat prediction cache with lock-free racy scatters
-(ialspp.h:399-406, :469-517) is folded away: each sweep recomputes
-``pred`` from the live tables, which on TPU beats maintaining a
-per-tuple cache (models/common.py::block_assemble_unweighted).
-Held-out eval = 8 blockwise fold-in epochs (ialspp.h:149-206,
-num_epochs hard-coded at :152).
+(ialspp.h:399-406, :469-517) becomes slab-local incremental
+predictions. Held-out eval = 8 blockwise fold-in epochs
+(ialspp.h:149-206, num_epochs hard-coded at :152) reusing one slab
+gather across all 8 sweeps.
 """
 
 from __future__ import annotations
@@ -39,51 +43,43 @@ class IALSpp(Recommender):
                              cfg.l2_reg_exp, cfg.uobs_weight)
         return ur, ir
 
-    def _block_sweep(self, table_self, table_other, buckets,
-                     s, bs, num_choices):
-        """One Step over one side for one block (reference
-        ialspp.h:351-424). ``s`` may be a traced offset (scanned blocks,
-        see ``common.block_solve_sweep``); ``bs`` is static."""
+    def _spec_fn(self, num_choices: int):
+        """Freq-scaled regularizer, unweighted history term
+        (reference ialspp.h:85-145 + RegularizationValue)."""
         cfg = self.cfg
-        other_loc = jax.lax.dynamic_slice_in_dim(table_other, s, bs,
-                                                 axis=1)
-        g_loc = other_loc.T @ other_loc
-        g_lg = other_loc.T @ table_other
 
-        def assemble_fn(b):
+        def spec_fn(b):
             reg = common.ials_reg(b.length, num_choices, cfg.l2_reg,
                                   cfg.l2_reg_exp, cfg.uobs_weight)
-            return common.block_assemble_unweighted(
-                table_self, table_other, b, s, bs, g_loc, g_lg,
-                reg, cfg.uobs_weight, dtype=self.asm_dtype)
-
-        return common.block_solve_sweep(table_self, buckets,
-                                        assemble_fn, s, bs)
+            return common.BlockSpec(
+                cg=jnp.full((b.n_rows,), cfg.uobs_weight, jnp.float32),
+                reg=reg)
+        return spec_fn
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
-        def body(carry, s, bs):
-            cu, cv = carry
-            cu = self._block_sweep(cu, cv, dd.by_user, s, bs,
-                                   dd.num_items)
-            cv = self._block_sweep(cv, cu, dd.by_item, s, bs,
-                                   dd.num_users)
-            return (cu, cv)
-
-        u, v = common.blockwise((state.user_emb, state.item_emb),
-                                self.cfg.dim, self.cfg.block_size, body)
+        cfg = self.cfg
+        u = common.block_sweep_frozen(
+            state.user_emb, state.item_emb, dd.by_user,
+            state.item_gramian, self._spec_fn(dd.num_items),
+            bs=cfg.block_size, dtype=self.asm_dtype)
+        gram_u = u.T @ u
+        v = common.block_sweep_frozen(
+            state.item_emb, u, dd.by_item, gram_u,
+            self._spec_fn(dd.num_users), bs=cfg.block_size,
+            dtype=self.asm_dtype)
         gram = v.T @ v
         loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
-                                  self.cfg.uobs_weight, halve=False, dtype=self.asm_dtype)
+                                  cfg.uobs_weight, halve=False,
+                                  dtype=self.asm_dtype)
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
                              user_loss=loss, steps=state.steps + 1)
 
     def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
-        """8 blockwise fold-in epochs (reference ialspp.h:149-206),
-        scanned as one sweep body over epochs x blocks when uniform."""
-        v = state.item_emb
+        """8 blockwise fold-in epochs (reference ialspp.h:149-206); the
+        item table is frozen throughout, so ONE slab gather per bucket
+        serves all 8 x dim/block_size block solves."""
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
-        return common.blockwise(
-            ue, self.cfg.dim, self.cfg.block_size,
-            lambda cu, s, bs: self._block_sweep(cu, v, fold.by_user, s,
-                                                bs, self.num_items),
-            repeats=self.cfg.eval_fold_in_epochs)
+        return common.block_sweep_frozen(
+            ue, state.item_emb, fold.by_user, state.item_gramian,
+            self._spec_fn(self.num_items), bs=self.cfg.block_size,
+            n_sweeps=self.cfg.eval_fold_in_epochs, dtype=self.asm_dtype)

@@ -2,24 +2,25 @@
 
 Capability parity with reference include/frecsys/safer2pp.h
 (SAFER2ppRecommender): blockwise delta solves, a fully vectorized
-z-step, and SAFER2's xi machinery. The reference's flat
-prediction/residual cache (safer2pp.h:469-517, :504-508) is folded
-away: every sweep recomputes predictions from the live tables, which
-on TPU is cheaper than the cache's per-element gathers/scatters (see
-models/common.py::block_assemble_unweighted).
+z-step, and SAFER2's xi machinery.
 
   user block : A = w (sum v_loc v_loc^T / |H| + uobs G_loc) + reg I
                rhs = (w/|H|) sum v_loc (pred-1) + w uobs G_lg u + reg u_loc
                (safer2pp.h:97-159)
-  item block : raw-dual-weighted local Gramians (safer2pp.h:532-544),
+  item block : raw-dual-weighted Gramian slices (safer2pp.h:532-544),
                wt = z/|H_u| residual rhs (safer2pp.h:161-216)
   z-step     : vectorized over the whole dual vector (safer2pp.h:839-862 —
                unlike SAFER2, id gaps are updated too)
-  loss       : recomputed per-tuple (same values as the reference's
-               cache-based safer2pp.h:611-652)
-  train      : pd x {z, blocks x {U, V}}, V^T V, loss, xi
-               (safer2pp.h:288-355)
+  train      : pd x {z, U block sweep, V block sweep}, V^T V, loss, xi
+               (safer2pp.h:288-355; the reference interleaves U/V per
+               block — see models/common.py::block_sweep_frozen for the
+               reordering and its equivalence argument)
   eval       : 8 blockwise fold-in epochs with weight 1 (safer2pp.h:220-286)
+
+The reference's flat prediction/residual cache (safer2pp.h:469-517,
+:504-508) becomes slab-local incremental predictions inside each
+bucket's sweep; the per-user loss (safer2pp.h:611-652) is recomputed
+from the live tables (same values, no cache drift).
 """
 
 from __future__ import annotations
@@ -42,41 +43,30 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         self._log_weighted_loss()
         _log.info("Xi:%s", float(self.state.xi))
 
-    def _block_sweep_u(self, u, v, buckets, s, bs, dual):
-        """``s`` may be a traced block offset (scanned blocks); ``bs``
-        is the static block size."""
+    def _spec_u(self, dual: jax.Array):
+        """User-side coefficients (reference safer2pp.h:97-159):
+        ch = w/|H|, cg = w*uobs, scalar user reg (safer2.h:418-421)."""
         cfg = self.cfg
-        v_loc = jax.lax.dynamic_slice_in_dim(v, s, bs, axis=1)
-        g_loc = v_loc.T @ v_loc
-        g_lg = v_loc.T @ v
         reg = self._user_reg()
 
-        def assemble_fn(b):
+        def spec_fn(b):
             w = dual[jnp.minimum(b.row_ids, dual.shape[0] - 1)]
-            return common.block_assemble_user_safer(
-                u, v, b, s, bs, g_loc, g_lg,
-                jnp.full((b.n_rows,), reg, jnp.float32),
-                cfg.uobs_weight, w, dtype=self.asm_dtype)
+            return common.BlockSpec(
+                ch=w / common.safe_len(b),
+                cg=cfg.uobs_weight * w,
+                reg=jnp.full((b.n_rows,), reg, jnp.float32))
+        return spec_fn
 
-        return common.block_solve_sweep(u, buckets, assemble_fn, s, bs)
-
-    def _block_sweep_v(self, v, u, dd: DeviceData, s, bs, dual):
+    def _spec_v(self, dd: DeviceData):
+        """Item-side coefficients (reference safer2pp.h:161-216): the
+        z/|H| slot weights ride ``extra_vec``; per-item reg statistic."""
         cfg = self.cfg
-        u_loc = jax.lax.dynamic_slice_in_dim(u, s, bs, axis=1)
-        u_loc_w = u_loc * dual[:, None]
-        g_loc_w = u_loc_w.T @ u_loc
-        g_lg_w = u_loc_w.T @ u
-        norm_dual = jnp.where(dd.user_hist_size > 0,
-                              dual / jnp.maximum(dd.user_hist_size, 1.0),
-                              0.0)
 
-        def assemble_fn(b):
-            reg = self._item_reg(dd.item_reg, b.row_ids)
-            return common.block_assemble_item_safer(
-                v, u, b, s, bs, g_loc_w, g_lg_w, reg,
-                cfg.uobs_weight, norm_dual, dtype=self.asm_dtype)
-
-        return common.block_solve_sweep(v, dd.by_item, assemble_fn, s, bs)
+        def spec_fn(b):
+            return common.BlockSpec(
+                cg=jnp.full((b.n_rows,), cfg.uobs_weight, jnp.float32),
+                reg=self._item_reg(dd.item_reg, b.row_ids))
+        return spec_fn
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         cfg = self.cfg
@@ -88,14 +78,19 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
             # (safer2pp.h:839-862).
             dual = smoothing.dual_weight(loss, state.xi, cfg.bandwidth,
                                          cfg.use_epanechnikov)
-
-            def body(carry, s, bs):
-                cu, cv = carry
-                cu = self._block_sweep_u(cu, cv, dd.by_user, s, bs, dual)
-                cv = self._block_sweep_v(cv, cu, dd, s, bs, dual)
-                return (cu, cv)
-
-            u, v = common.blockwise((u, v), cfg.dim, cfg.block_size, body)
+            u = common.block_sweep_frozen(
+                u, v, dd.by_user, gram, self._spec_u(dual),
+                bs=cfg.block_size, dtype=self.asm_dtype)
+            # Raw-dual-weighted user Gramian: every V block's
+            # G_loc_w/G_lg_w (safer2pp.h:532-544) is a slice of it.
+            g_w = u.T @ (u * dual[:, None])
+            norm_dual = jnp.where(
+                dd.user_hist_size > 0,
+                dual / jnp.maximum(dd.user_hist_size, 1.0), 0.0)
+            v = common.block_sweep_frozen(
+                v, u, dd.by_item, g_w, self._spec_v(dd),
+                bs=cfg.block_size, dtype=self.asm_dtype,
+                extra_vec=norm_dual)
             gram = v.T @ v
             loss = common.user_losses(u, v, gram, dd.by_user,
                                       dd.num_users, cfg.uobs_weight,
@@ -134,12 +129,11 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
 
     def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
         """8 blockwise fold-in epochs with weight 1 (reference
-        safer2pp.h:220-286), scanned over epochs x blocks when uniform."""
-        v = state.item_emb
+        safer2pp.h:220-286); the frozen item table means one slab gather
+        per bucket serves all 8 sweeps."""
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         ones = jnp.ones((fold.n_pad,), jnp.float32)
-        return common.blockwise(
-            ue, self.cfg.dim, self.cfg.block_size,
-            lambda cu, s, bs: self._block_sweep_u(cu, v, fold.by_user, s,
-                                                  bs, ones),
-            repeats=self.cfg.eval_fold_in_epochs)
+        return common.block_sweep_frozen(
+            ue, state.item_emb, fold.by_user, state.item_gramian,
+            self._spec_u(ones), bs=self.cfg.block_size,
+            n_sweeps=self.cfg.eval_fold_in_epochs, dtype=self.asm_dtype)

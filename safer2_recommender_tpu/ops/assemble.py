@@ -189,39 +189,43 @@ def wide_matvec(table: jax.Array, bucket: Bucket, x: jax.Array,
     return ax, rhs
 
 
-def wide_block_system(table: jax.Array, bucket: Bucket,
-                      x_full: jax.Array, s, bs: int,
-                      extra_vec: Optional[jax.Array] = None,
-                      dtype=None) -> Tuple[jax.Array, jax.Array]:
-    """Streamed blockwise system pieces over column chunks:
+def wide_gram_resid(table: jax.Array, bucket: Bucket,
+                    x_full: jax.Array,
+                    extra_vec: Optional[jax.Array] = None,
+                    dtype=None) -> Tuple[jax.Array, jax.Array]:
+    """Streamed FULL normal-equation pieces for the blockwise models'
+    zipf-head rows:
 
-        A_loc = sum_h wt v_loc v_loc^T
-        r1    = sum_h wt v_loc (pred - 1),   pred = <v_full, x_full>
+        S  = sum_h wt v v^T            [N, d, d]
+        r0 = sum_h wt v (pred0 - 1)    [N, d],  pred0 = <v, x_full>
 
-    with ``wt = mask`` (or ``extra[col] * mask``). The blockwise (++)
-    models' zipf-head analogue of ``wide_assemble``: predictions are
-    recomputed chunk-by-chunk from the full-width rows, so the cache-free
-    residual math needs no [N, L, d] slab for hot rows either. ``s`` is
-    the block column offset (int or traced), ``bs`` the static size.
+    with ``wt = mask`` (or ``extra[col] * mask``). Wide rows are few
+    (hot items), so [N, d, d] fits while their [N, L, d] slab does not;
+    every block system of the sweep is then a pure slice of (S, r0):
+    since pred is linear in x with the other side frozen,
+    ``sum_h wt v_loc (pred - 1) = r0_loc + (S @ (x - x0))_loc``. One
+    streamed pass therefore serves all d/bs block solves — the streamed
+    per-block variant re-read the whole history d/bs times
+    (models/common.py::block_sweep_frozen consumes this).
     """
     n = bucket.n_rows
+    d = table.shape[1]
     xs, gather_fn = _wide_chunks(table, extra_vec, bucket, dtype)
 
     def body(carry, xc):
-        a, r1 = carry
+        s_acc, r0 = carry
         cols_c, off = xc
         emb, mask, wt = gather_fn(cols_c, off)
         wt = mask if wt is None else wt
         p = rowwise_dot(emb, x_full)
-        emb_loc = jax.lax.dynamic_slice_in_dim(emb, s, bs, axis=2)
-        a = a + row_gramians(emb_loc, col_weight=wt)
-        r1 = r1 + row_sums(emb_loc, col_weight=wt * (p - mask))
-        return (a, r1), None
+        s_acc = s_acc + row_gramians(emb, col_weight=wt)
+        r0 = r0 + row_sums(emb, col_weight=wt * (p - mask))
+        return (s_acc, r0), None
 
-    init = (jnp.zeros((n, bs, bs), jnp.float32),
-            jnp.zeros((n, bs), jnp.float32))
-    (a, r1), _ = jax.lax.scan(body, init, xs)
-    return a, r1
+    init = (jnp.zeros((n, d, d), jnp.float32),
+            jnp.zeros((n, d), jnp.float32))
+    (s_acc, r0), _ = jax.lax.scan(body, init, xs)
+    return s_acc, r0
 
 
 def wide_obs(table: jax.Array, bucket: Bucket, probe_rows: jax.Array,
@@ -295,4 +299,4 @@ def scatter_vector(vec: jax.Array, row_ids: jax.Array,
 # on TPU its by-item accesses are per-ELEMENT gathers/scatter-adds
 # (~100x slower per value than row gathers — docs/PERFORMANCE.md), so
 # the blockwise models recompute predictions from the live tables
-# instead (models/common.py::block_assemble_unweighted).
+# instead (models/common.py::block_sweep_frozen).

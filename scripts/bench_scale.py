@@ -39,6 +39,9 @@ def main():
     import jax.numpy as jnp
 
     from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
+    from safer2_recommender_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
 
     users, items = synth(NUM_USERS, NUM_ITEMS, MEAN_HIST)
     ds = Dataset(users, items)

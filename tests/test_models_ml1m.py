@@ -149,16 +149,19 @@ def test_ialspp_full_block_equals_ials():
                                atol=5e-5)
 
 
-def test_scanned_blocks_equal_unrolled():
-    # The uniform-block scan path (one shared sweep body,
-    # models/ialspp.py::_epoch) must produce exactly the same update
-    # sequence as unrolled per-block sweeps with static offsets. dim=16
-    # with block_size 4 scans 4 blocks; forcing the unrolled path via a
-    # non-uniform layout is not equivalent math, so the reference here
-    # is hand-driving _block_sweep with Python-int offsets.
+def test_repeated_sweeps_scan_equals_sequential():
+    # block_sweep_frozen(n_sweeps=8) runs epochs x blocks as ONE scan
+    # reusing one slab gather and carrying the incremental predictions
+    # across sweep boundaries (the ++ eval fold-in path,
+    # ialspp.h:149-206). It must equal calling the sweep 8 times with
+    # n_sweeps=1 (where each call re-derives pred from the live
+    # tables) — a strong check that the slab-local prediction carry
+    # matches recomputation exactly.
+    import jax.numpy as jnp
     import numpy as np
 
     from safer2_recommender_tpu import Dataset, DeviceData
+    from safer2_recommender_tpu.models import common
 
     rng = np.random.default_rng(3)
     pairs = np.unique(np.stack([rng.integers(0, 120, 4000),
@@ -169,26 +172,59 @@ def test_scanned_blocks_equal_unrolled():
 
     m = get_model("ialspp", Config(dim=16, block_size=4, seed=5),
                   ds.num_users, ds.num_items)
-    u0 = np.asarray(m.state.user_emb)
-    v0 = np.asarray(m.state.item_emb)
-    m.train_epoch(dd)
-    u_scan = np.asarray(m.state.user_emb)
-    v_scan = np.asarray(m.state.item_emb)
+    v = m.state.item_emb
+    gram = m.state.item_gramian
+    spec = m._spec_fn(ds.num_items)
+    u0 = jnp.zeros((ds.num_users, 16), jnp.float32)
 
-    import jax
+    once = common.block_sweep_frozen(u0, v, dd.by_user, gram, spec,
+                                     bs=4, n_sweeps=8)
+    seq = u0
+    for _ in range(8):
+        seq = common.block_sweep_frozen(seq, v, dd.by_user, gram, spec,
+                                        bs=4, n_sweeps=1)
+    np.testing.assert_allclose(np.asarray(once), np.asarray(seq),
+                               rtol=2e-4, atol=2e-5)
 
-    @jax.jit
-    def unrolled(u, v):
-        for s in range(0, 16, 4):
-            u = m._block_sweep(u, v, dd.by_user, s, 4, ds.num_items)
-            v = m._block_sweep(v, u, dd.by_item, s, 4, ds.num_users)
-        return u, v
 
-    u_ref, v_ref = unrolled(u0, v0)
-    np.testing.assert_allclose(u_scan, np.asarray(u_ref), rtol=2e-5,
-                               atol=2e-6)
-    np.testing.assert_allclose(v_scan, np.asarray(v_ref), rtol=2e-5,
-                               atol=2e-6)
+def test_block_sweep_wide_path_matches_narrow(monkeypatch):
+    # Zipf-head rows take the streamed full-system path
+    # (assemble.wide_gram_resid: blocks solved from slices of one
+    # [N, d, d] Gramian + linear residual update) instead of the
+    # [N, L, d] slab. Forcing every bucket wide must reproduce the
+    # narrow path exactly — same per-block systems, different assembly.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from safer2_recommender_tpu import Dataset, DeviceData
+    from safer2_recommender_tpu.models import common
+    from safer2_recommender_tpu.ops import assemble
+
+    rng = np.random.default_rng(8)
+    pairs = np.unique(np.stack([rng.integers(0, 100, 4000),
+                                rng.integers(0, 50, 4000)], 1),
+                      axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    dd = DeviceData.build(ds)
+
+    m = get_model("safer2pp", Config(dim=16, block_size=4, seed=2),
+                  ds.num_users, ds.num_items)
+    v = m.state.item_emb
+    gram = m.state.item_gramian
+    dual = jnp.linspace(0.2, 0.9, ds.num_users)
+    spec = m._spec_u(dual)
+    u0 = m.state.user_emb
+
+    narrow = common.block_sweep_frozen(u0, v, dd.by_user, gram, spec,
+                                       bs=4)
+    monkeypatch.setattr(assemble, "WIDE_SLAB_BYTES", 1)
+    monkeypatch.setattr(assemble, "WIDE_CHUNK", 8)
+    wide_buckets = [b for b in dd.by_user if assemble.is_wide(b, 16)]
+    assert wide_buckets, "patch failed to force the wide path"
+    wide = common.block_sweep_frozen(u0, v, dd.by_user, gram, spec,
+                                     bs=4)
+    np.testing.assert_allclose(np.asarray(wide), np.asarray(narrow),
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_use_cg_epoch_matches_exact():

@@ -136,6 +136,76 @@ def test_sharded_evaluation_matches_single_device(tiny, mesh):
                                rtol=5e-3, atol=5e-4)
 
 
+@pytest.mark.parametrize("name,budget_ratio", [("safer2", 3.0),
+                                               ("safer2pp", 2.5),
+                                               ("ials", 3.0)])
+def test_epoch_collective_bytes_bounded(tiny, mesh, name, budget_ratio):
+    # Regression gate on the epoch's REAL cross-device traffic, measured
+    # from compiled HLO (parallel/audit.py): with bucket rows sharded
+    # and tables replicated, each sweep's solved rows all-gather back
+    # into the replicated tables, so per-epoch collective bytes land at
+    # ~1-2.5x the (U+V) table bytes (measured: safer2 2.2x, safer2pp
+    # 1.1x, scripts/audit_collectives.py). If a sharding change ever
+    # makes XLA gather the [N, L, d] history slabs or the per-row
+    # normal equations across devices instead, this blows past the
+    # budget by an order of magnitude. docs/SCALING.md's multi-host
+    # model is derived from these same numbers.
+    from safer2_recommender_tpu.parallel.audit import (collective_traffic,
+                                                       total_bytes)
+
+    ds, _ = tiny
+    cfg = Config(dim=16, block_size=8, compute_dtype="f32")
+    dd = DeviceData.build(ds, mesh=mesh)
+    m = get_model(name, cfg, ds.num_users, ds.num_items, mesh=mesh)
+    hlo = jax.jit(m._epoch).lower(m.state, dd).compile().as_text()
+    traffic = collective_traffic(hlo)
+    assert traffic, "sharded epoch compiled to zero collectives?"
+    table_bytes = (ds.num_users + ds.num_items) * cfg.dim * 4
+    slack = 256 * 1024  # Gramians/stats/quantile scalars at tiny scale
+    assert total_bytes(traffic) <= budget_ratio * table_bytes + slack, (
+        f"{name}: {total_bytes(traffic)} collective bytes vs "
+        f"{table_bytes} table bytes — traffic model broken: {traffic}")
+
+
+def test_multihost_put_assembles_global_shape(monkeypatch):
+    # The multi-host branch of parallel/mesh.py::put must pass
+    # global_shape=x.shape to jax.make_array_from_process_local_data:
+    # every host parses the FULL csv, so without it the helper would
+    # scale the sharded dim by process_count and concatenate the hosts'
+    # identical copies (the bug fixed in commit 5d0b19b). A real pod is
+    # not available here, so the process topology is mocked and the
+    # assembly call recorded.
+    import types
+
+    from safer2_recommender_tpu.parallel import mesh as mesh_lib
+
+    calls = {}
+
+    def fake_assemble(sharding, x, global_shape=None):
+        calls["global_shape"] = global_shape
+        calls["x_shape"] = x.shape
+        return "global-array"
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(jax, "make_array_from_process_local_data",
+                        fake_assemble)
+    dev0 = types.SimpleNamespace(process_index=0)
+    dev1 = types.SimpleNamespace(process_index=1)
+    devices = np.empty(2, dtype=object)
+    devices[:] = [dev0, dev1]
+    sharding = types.SimpleNamespace(
+        mesh=types.SimpleNamespace(devices=devices))
+
+    x = np.arange(48, dtype=np.int32).reshape(16, 3)
+    out = mesh_lib.put(x, sharding)
+    assert out == "global-array"
+    assert calls["global_shape"] == (16, 3), (
+        "multi-host put dropped global_shape — every host holds the "
+        "full array, so the assembled global array would be "
+        "process_count x too long (commit 5d0b19b regression)")
+
+
 def test_sharded_rotated_direct_matches_single_device(mesh):
     # Buckets wider than dim/2 take the eigenbasis-rotated direct path
     # (vector ridge through the custom-partitioned solver); it must
