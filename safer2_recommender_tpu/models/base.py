@@ -180,6 +180,10 @@ class Recommender:
     # top of Train (safer family, e.g. safer2.h:267), "post" = after the
     # sweeps (iALS, ials.h:203).
     _stats_order = "pre"
+    # True on the exact-solve models whose loss pass is phase-shifted to
+    # the top of the next epoch (PARITY.md section 5) — their
+    # loss-derived log lines describe the pre-epoch model.
+    _loss_lags_one_epoch = False
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         raise NotImplementedError
@@ -333,6 +337,7 @@ class Recommender:
     def _log_var_stats(self) -> None:
         if not self.print_var_stats:
             return
+        self._note_loss_phase()
         loss = np.asarray(self.state.user_loss)
         vals = np.sort(-loss)
         # Reference (ials.h:212-218): Q = n * alpha stays a FLOAT — the
@@ -349,8 +354,24 @@ class Recommender:
                   dw.min(), dw.mean(), dw.max())
 
     def _log_weighted_loss(self) -> None:
+        self._note_loss_phase()
         wl = float(jnp.mean(self.state.dual_weight * self.state.user_loss))
         _log.info("Weighted Loss: %s", wl)
+
+    def _note_loss_phase(self) -> None:
+        """One-time heads-up that the exact-solve models' loss-derived
+        log lines (Weighted Loss / VaR / CVaR) describe the PRE-epoch
+        model: their loss pass is phase-shifted to the top of the next
+        epoch to share the U-sweep's gather (PARITY.md section 5; the
+        update sequence is provably identical, only the print timing
+        moves one epoch vs the reference's safer2.h:300-321)."""
+        if self._loss_lags_one_epoch and not getattr(
+                self, "_loss_phase_noted", False):
+            self._loss_phase_noted = True
+            _log.info(
+                "note: loss-derived stats lag one epoch (they describe "
+                "the pre-epoch model; identical math, shifted print — "
+                "PARITY.md section 5)")
 
 
 class SaferFamilyMixin:

@@ -513,6 +513,26 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
         return table_self
     dim = table_self.shape[1]
 
+    # Block-level Woodbury: for buckets whose history width is at most
+    # bs/2, the bs x bs delta system A = ch*H_ss + cg*G_ss + reg*I is
+    # solved via ONE batched eigh of the frozen Gramian's diagonal
+    # blocks (G_ss = Q_k diag(lam_k) Q_k^T, shared by every row) plus a
+    # per-row L x L capacitance solve (ops/woodbury.py::solve_rhs) —
+    # skipping both the bs x bs Cholesky inversion (the VPU-bound bulk
+    # of the sweep: 150 of 233 ms at dim 512, measured by trace) and
+    # the per-row bs x bs Gramian einsum. Most rows qualify: history
+    # lengths are power-law (ML-1M/MSD median well under 32).
+    wood = (dim % bs == 0 and bs >= 16
+            and not os.environ.get("FRT_NO_BLOCK_WOOD")
+            and any(not assemble.is_wide(g, dim) and 2 * g.width <= bs
+                    for g in buckets))
+    if wood:
+        nb = dim // bs
+        diag = gram.reshape(nb, bs, nb, bs)[
+            jnp.arange(nb), :, jnp.arange(nb), :]         # [nb, bs, bs]
+        lam_all, q_all = jnp.linalg.eigh(diag)
+        lam_all = jnp.maximum(lam_all, 0.0)
+
     def gather(b):
         if extra_vec is None:
             emb, mask = assemble.gather_history(table_other, b, dtype)
@@ -538,24 +558,38 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
         spec = spec_fn(b)
         xf = tbl[b.row_ids]
         pred = assemble.rowwise_dot(emb, xf)
+        use_wood = wood and 2 * b.width <= bs   # static per bucket
 
         def blk(carry, s, bsz):
             xf, pred = carry
             emb_loc = jax.lax.dynamic_slice_in_dim(emb, s, bsz, axis=2)
             x_loc = jax.lax.dynamic_slice_in_dim(xf, s, bsz, axis=1)
-            g_loc = jax.lax.dynamic_slice(gram, (s, s), (bsz, bsz))
             g_lg = jax.lax.dynamic_slice(gram, (s, 0), (bsz, dim))
             resid = pred - mask
-            a = assemble.row_gramians(emb_loc, col_weight=wt)
             rhs = assemble.row_sums(
                 emb_loc, col_weight=resid if wt is None else wt * resid)
             if spec.ch is not None:
-                a = a * spec.ch[:, None, None]
                 rhs = rhs * spec.ch[:, None]
-            a = a + spec.cg[:, None, None] * g_loc[None]
             rhs = (rhs + spec.cg[:, None] * (xf @ g_lg.T)
                    + spec.reg[:, None] * x_loc)
-            delta = -solve.cholesky_solve(a, rhs, spec.reg)
+            if use_wood:
+                k_i = s // bs
+                q_k = jax.lax.dynamic_index_in_dim(q_all, k_i, 0,
+                                                   keepdims=False)
+                lam_k = jax.lax.dynamic_index_in_dim(lam_all, k_i, 0,
+                                                     keepdims=False)
+                wt_eff = mask if wt is None else wt
+                if spec.ch is not None:
+                    wt_eff = wt_eff * spec.ch[:, None]
+                delta = -woodbury.solve_rhs(emb_loc, wt_eff, spec.reg,
+                                            spec.cg, rhs, q_k, lam_k)
+            else:
+                g_loc = jax.lax.dynamic_slice(gram, (s, s), (bsz, bsz))
+                a = assemble.row_gramians(emb_loc, col_weight=wt)
+                if spec.ch is not None:
+                    a = a * spec.ch[:, None, None]
+                a = a + spec.cg[:, None, None] * g_loc[None]
+                delta = -solve.cholesky_solve(a, rhs, spec.reg)
             pred = pred + jnp.sum(emb_loc * delta[:, None, :], axis=2)
             xf = jax.lax.dynamic_update_slice_in_dim(xf, x_loc + delta,
                                                      s, axis=1)

@@ -25,6 +25,7 @@ from safer2_recommender_tpu.ops import assemble, quantile, woodbury
 
 class CVaRMF(SaferFamilyMixin, Recommender):
     name = "cvar_mf"
+    _loss_lags_one_epoch = True
 
     def _log_epoch_lines(self) -> None:
         # reference cvar_mf.h:301-303, :327-328

@@ -26,6 +26,7 @@ from safer2_recommender_tpu.models.base import (MFState, Recommender,
 
 class ERMMF(SaferFamilyMixin, Recommender):
     name = "erm_mf"
+    _loss_lags_one_epoch = True
 
     def _log_epoch_lines(self) -> None:
         # reference erm_mf.h:277-278

@@ -24,6 +24,7 @@ from safer2_recommender_tpu.ops import woodbury
 
 class IALS(Recommender):
     name = "ials"
+    _loss_lags_one_epoch = True
     _stats_order = "post"
 
     def _reg_vectors(self, dd: DeviceData):

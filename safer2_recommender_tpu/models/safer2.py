@@ -32,6 +32,7 @@ from safer2_recommender_tpu.ops import quantile, smoothing
 
 class SAFER2(SaferFamilyMixin, Recommender):
     name = "safer2"
+    _loss_lags_one_epoch = True
 
     def _log_epoch_lines(self) -> None:
         # reference safer2.h:300-301, :332

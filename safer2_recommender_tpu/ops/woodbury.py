@@ -152,27 +152,33 @@ def applicable(width: int, dim: int) -> bool:
     return 2 * width <= dim
 
 
-def solve(p: SolveParams, q: jax.Array, lam: jax.Array) -> jax.Array:
-    """Batched Woodbury solve -> new rows [N, d] (f32)."""
-    compute_dtype = p.emb.dtype
+def _prep(emb: jax.Array, wt: jax.Array, c0: jax.Array, c1: jax.Array,
+          q: jax.Array, lam: jax.Array):
+    """Shared Woodbury ingredients: rotated history ``w`` [N, L, d],
+    rotated-basis M^-1 diagonal ``s`` [N, d], weighted rotated history
+    ``wts`` and the L x L capacitance ``K = Vt M^-1 Vt^T`` (its +I_L
+    rides the solver's lazy diagonal shift)."""
+    compute_dtype = emb.dtype
     # Rotate histories into the shared eigenbasis: ONE plain matmul.
     w = jax.lax.dot_general(
-        p.emb, q.astype(compute_dtype),
+        emb, q.astype(compute_dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # [N, L, d]
-    s = 1.0 / (p.c1[:, None] * lam[None, :] + p.c0[:, None])  # [N, d]
-
-    sq = jnp.sqrt(p.wt)
+        preferred_element_type=jnp.float32)                   # [N, L, d]
+    s = 1.0 / (c1[:, None] * lam[None, :] + c0[:, None])      # [N, d]
+    sq = jnp.sqrt(wt)
     wts = w * sq[:, :, None]                                  # Vt Q
-    wts_c = wts.astype(compute_dtype)
-    k = jnp.einsum("nle,nme->nlm", (wts * s[:, None, :]).astype(compute_dtype),
-                   wts_c, preferred_element_type=jnp.float32)
-    # (K + I_L) is formed inside the solver's lazy diagonal shift
+    k = jnp.einsum("nle,nme->nlm",
+                   (wts * s[:, None, :]).astype(compute_dtype),
+                   wts.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+    return w, s, wts, k
 
+
+def _finish(z: jax.Array, s: jax.Array, wts: jax.Array, k: jax.Array,
+            q: jax.Array) -> jax.Array:
+    """x = Q (z - s Vt^T (K+I)^-1 Vt z) given the rotated M^-1 rhs z."""
     # matvec-like contractions as multiply+reduce (XLA's batched mat-vec
     # lowering pays a fixed per-element MXU cost that dominates at scale)
-    rv = jnp.sum(w * p.r[:, :, None], axis=1)                 # Q^T rhs
-    z = s * rv
     u = jnp.sum(wts * z[:, None, :], axis=2)
     y = block_chol.spd_solve(k, u, jnp.ones((k.shape[0],), k.dtype))
     wty = jnp.sum(wts * y[:, :, None], axis=1)
@@ -181,3 +187,26 @@ def solve(p: SolveParams, q: jax.Array, lam: jax.Array) -> jax.Array:
         out.astype(jnp.float32), q,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                   # [N, d]
+
+
+def solve(p: SolveParams, q: jax.Array, lam: jax.Array) -> jax.Array:
+    """Batched Woodbury solve of A x = Vh^T r -> new rows [N, d] (f32)."""
+    w, s, wts, k = _prep(p.emb, p.wt, p.c0, p.c1, q, lam)
+    rv = jnp.sum(w * p.r[:, :, None], axis=1)                 # Q^T Vh^T r
+    return _finish(s * rv, s, wts, k, q)
+
+
+def solve_rhs(emb: jax.Array, wt: jax.Array, c0: jax.Array, c1: jax.Array,
+              b: jax.Array, q: jax.Array, lam: jax.Array) -> jax.Array:
+    """Batched Woodbury solve of A x = b for an ARBITRARY rhs b [N, d]
+    (the blockwise models' delta systems, whose rhs mixes residual,
+    local-global-Gramian and regularizer pull-back terms — see
+    models/common.py::block_sweep_frozen). Same A as ``solve``:
+    A = c0 I + c1 G + emb^T diag(wt) emb with G = Q diag(lam) Q^T.
+    """
+    w, s, wts, k = _prep(emb, wt, c0, c1, q, lam)
+    del w
+    bz = jax.lax.dot_general(b, q,
+                             dimension_numbers=(((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return _finish(s * bz, s, wts, k, q)

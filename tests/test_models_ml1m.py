@@ -187,6 +187,40 @@ def test_repeated_sweeps_scan_equals_sequential():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_block_sweep_woodbury_matches_direct(monkeypatch):
+    # Buckets with history width <= block_size/2 solve their block
+    # systems via the shared block-Gramian eigh + L x L capacitance
+    # (ops/woodbury.py::solve_rhs) instead of the direct bs x bs
+    # inversion. Both are exact solves of the same system; the sweep
+    # must agree to float tolerance with the Woodbury gate forced off.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from safer2_recommender_tpu import Dataset, DeviceData
+    from safer2_recommender_tpu.models import common
+
+    rng = np.random.default_rng(21)
+    # short histories (width <= 8 buckets) so the gate opens at bs=16
+    pairs = np.unique(np.stack([rng.integers(0, 400, 2400),
+                                rng.integers(0, 200, 2400)], 1),
+                      axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    dd = DeviceData.build(ds)
+    assert any(2 * b.width <= 16 for b in dd.by_user)
+
+    m = get_model("safer2pp", Config(dim=32, block_size=16, seed=4),
+                  ds.num_users, ds.num_items)
+    dual = jnp.linspace(0.1, 1.0, ds.num_users)
+    args = (m.state.user_emb, m.state.item_emb, dd.by_user,
+            m.state.item_gramian, m._spec_u(dual))
+
+    wood = common.block_sweep_frozen(*args, bs=16)
+    monkeypatch.setenv("FRT_NO_BLOCK_WOOD", "1")
+    direct = common.block_sweep_frozen(*args, bs=16)
+    np.testing.assert_allclose(np.asarray(wood), np.asarray(direct),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_block_sweep_wide_path_matches_narrow(monkeypatch):
     # Zipf-head rows take the streamed full-system path
     # (assemble.wide_gram_resid: blocks solved from slices of one
