@@ -164,7 +164,7 @@ def _lane_matmul(a: jax.Array, b: jax.Array, *,
                  trans_b: bool = False) -> jax.Array:
     """Lane-major batched matmul: a, b [h, h, N] -> a @ b(^T) [h, h, N]."""
     h, _, n = a.shape
-    nl = max(_LEAF_LANES // (h // 32) ** 2, 128)
+    nl = max(_LEAF_LANES // max(h // 32, 1) ** 2, 128)
     n_pad = ((n + nl - 1) // nl) * nl
     if n_pad != n:
         a = jnp.pad(a, ((0, 0), (0, 0), (0, n_pad - n)))
