@@ -99,7 +99,10 @@ def time_epochs(model, dd, bench_epochs: int, reps: int) -> float:
 
 
 def bench_northstar(on_cpu: bool):
-    """SAFER2 dim=512 on the MSD-shaped 50k-user synthetic workload."""
+    """dim=512 on the MSD-shaped 50k-user synthetic workload: the exact
+    SAFER2 north-star plus the blockwise models (safer2pp/ialspp, block
+    64) so a ++-engine regression shows in the round artifact (VERDICT
+    r2 item 3)."""
     from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
     from safer2_recommender_tpu.data.synth import powerlaw_dataset
 
@@ -109,14 +112,21 @@ def bench_northstar(on_cpu: bool):
     dd = DeviceData.build(ds, dim=dim)
     cfg = Config(dim=dim, uobs_weight=0.0004, l2_reg=0.0012, alpha=0.3,
                  bandwidth=0.1, use_snr=True, sampling_ratio=0.1,
-                 xi_iterations=5, pd_iterations=1)
-    model = get_model("safer2", cfg, ds.num_users, ds.num_items)
-    model.initialize(dd)
-    model.train_epochs(dd, 1)
-    epoch_s = time_epochs(model, dd, bench_epochs=3 if on_cpu else 4,
-                          reps=1 if on_cpu else 2)
-    n_users = int((dd.user_hist_size > 0).sum())
-    return epoch_s, n_users / epoch_s, dim
+                 xi_iterations=5, pd_iterations=1, block_size=64)
+    n_users = None
+    out = {}
+    for name in (("safer2",) if on_cpu else
+                 ("safer2", "safer2pp", "ialspp")):
+        model = get_model(name, cfg, ds.num_users, ds.num_items)
+        model.initialize(dd)
+        model.train_epochs(dd, 1)
+        out[name] = time_epochs(model, dd,
+                                bench_epochs=3 if on_cpu else 4,
+                                reps=1 if on_cpu else 2)
+        if n_users is None:
+            n_users = int((dd.user_hist_size > 0).sum())
+        del model
+    return out, n_users, dim
 
 
 def bench_ml1m(on_cpu: bool):
@@ -147,7 +157,9 @@ def main() -> int:
     enable_compilation_cache()
     on_cpu = jax.default_backend() == "cpu"
 
-    ns_epoch_s, ns_rate, ns_dim = bench_northstar(on_cpu)
+    ns_times, ns_users, ns_dim = bench_northstar(on_cpu)
+    ns_epoch_s = ns_times["safer2"]
+    ns_rate = ns_users / ns_epoch_s
     ml_epoch_s, ml_rate = bench_ml1m(on_cpu)
 
     cpp_1core_s = read_baseline("measured_cpp_synth50k_dim512_epoch_s")
@@ -164,6 +176,14 @@ def main() -> int:
         # workload; the >=5x north-star target counts against this
         "vs_baseline": round(vs_ideal_64core, 2),
         "epoch_ms": round(ns_epoch_s * 1000, 1),
+        # blockwise (++) models on the SAME workload/dim — regression
+        # guard for the block-sweep engine (absent on the CPU fallback)
+        "safer2pp_dim512_epoch_ms": round(
+            ns_times["safer2pp"] * 1000, 1) if "safer2pp" in ns_times
+        else None,
+        "ialspp_dim512_epoch_ms": round(
+            ns_times["ialspp"] * 1000, 1) if "ialspp" in ns_times
+        else None,
         "ml1m_dim32_users_per_s_chip": round(ml_rate, 1),
         "ml1m_dim32_vs_cpp_1core": round(ml_vs, 2),
         "ml1m_dim32_epoch_ms": round(ml_epoch_s * 1000, 1),

@@ -152,8 +152,13 @@ def main(argv=None) -> int:
 
     if args.distributed:
         # Must run before first backend use; on TPU pods the coordinator
-        # and process ids auto-discover from the runtime metadata.
-        jax.distributed.initialize()
+        # and process ids auto-discover from the runtime metadata. A
+        # host embedding this CLI (tests/distributed_worker.py) may have
+        # initialized the runtime already — that's fine.
+        import jax._src.distributed as _dist
+
+        if _dist.global_state.client is None:
+            jax.distributed.initialize()
         log.info("distributed: process %d/%d, %d global devices",
                  jax.process_index(), jax.process_count(),
                  len(jax.devices()))

@@ -97,6 +97,16 @@ class Recommender:
             eig_qu=jnp.eye(cfg.dim, dtype=jnp.float32),
             eig_qv=jnp.eye(cfg.dim, dtype=jnp.float32),
         )
+        if mesh is not None:
+            # Replicate the state over the mesh. Single-process runs
+            # would get there lazily via jit auto-placement, but a
+            # MULTI-PROCESS mesh cannot: each process's plainly-created
+            # arrays live on its local device 0 only, and jit rejects
+            # mixing them with global-mesh operands.
+            from safer2_recommender_tpu.parallel import mesh as mesh_lib
+            rep = mesh_lib.replicated(mesh)
+            self.state = jax.tree_util.tree_map(
+                lambda x: mesh_lib.put(x, rep), self.state)
         self._epoch_jit = jax.jit(self._epoch)
         self._fold_in_jit = jax.jit(self._fold_in)
         self._eval_jit = None
@@ -235,9 +245,10 @@ class Recommender:
                 self._eval_metrics, static_argnames=("k_list",))
         recall, ndcg = self._eval_jit(ue, self.state.item_emb, fold,
                                       k_list=tuple(k_list))
-        recall = np.asarray(recall)
-        ndcg = np.asarray(ndcg)
-        keep = np.asarray(fold.gt_len) > 0
+        from safer2_recommender_tpu.parallel.mesh import to_host
+        recall = to_host(recall)
+        ndcg = to_host(ndcg)
+        keep = to_host(fold.gt_len) > 0
         return EvaluationResult(
             k_list=tuple(k_list),
             alpha_list=tuple(alpha_list),
@@ -276,7 +287,8 @@ class Recommender:
         if self._rec_jit is None:
             self._rec_jit = jax.jit(self._recommend_ids,
                                     static_argnames=("k",))
-        ids = np.asarray(
+        from safer2_recommender_tpu.parallel.mesh import to_host
+        ids = to_host(
             self._rec_jit(ue, self.state.item_emb, fold.excl, k=k))
         return users, ids[: users.size]
 
@@ -338,7 +350,8 @@ class Recommender:
         if not self.print_var_stats:
             return
         self._note_loss_phase()
-        loss = np.asarray(self.state.user_loss)
+        from safer2_recommender_tpu.parallel.mesh import to_host
+        loss = to_host(self.state.user_loss)
         vals = np.sort(-loss)
         # Reference (ials.h:212-218): Q = n * alpha stays a FLOAT — the
         # sum runs over floor(Q)+1 elements but the divisor is Q itself.

@@ -100,13 +100,15 @@ class CVaRMF(SaferFamilyMixin, Recommender):
     def initialize(self, dd: DeviceData) -> None:
         """Pre-compute losses (reference cvar_mf.h:710-726)."""
         @jax.jit
-        def _init(state: MFState):
+        def _init(state: MFState, dd_: DeviceData):
             loss = common.user_losses(
                 state.user_emb, state.item_emb, state.item_gramian,
-                dd.by_user, dd.num_users, self.cfg.uobs_weight, halve=True, dtype=self.asm_dtype)
+                dd_.by_user, dd_.num_users, self.cfg.uobs_weight,
+                halve=True, dtype=self.asm_dtype)
             return state.replace(user_loss=loss)
 
-        self.state = _init(self.state)
+        # dd as argument (multi-process meshes forbid array closures)
+        self.state = _init(self.state, dd)
 
     def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
         """Closed-form fold-in with weight 1 (reference cvar_mf.h:644-692:

@@ -60,11 +60,12 @@ class ERMMF(SaferFamilyMixin, Recommender):
         and item_reg live in DeviceData). Same assembly dtype as every
         epoch's loss pass so the epoch-0 stats are consistent."""
         @jax.jit
-        def _init(state: MFState):
+        def _init(state: MFState, dd_: DeviceData):
             loss = common.user_losses(
                 state.user_emb, state.item_emb, state.item_gramian,
-                dd.by_user, dd.num_users, self.cfg.uobs_weight,
+                dd_.by_user, dd_.num_users, self.cfg.uobs_weight,
                 halve=True, dtype=self.asm_dtype)
             return state.replace(user_loss=loss)
 
-        self.state = _init(self.state)
+        # dd as argument (multi-process meshes forbid array closures)
+        self.state = _init(self.state, dd)

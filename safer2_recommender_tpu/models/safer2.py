@@ -109,11 +109,13 @@ class SAFER2(SaferFamilyMixin, Recommender):
         the top of the first epoch (see ``_epoch``); here we only compute
         the loss so the pre-training state is inspectable."""
         @jax.jit
-        def _init(state: MFState):
+        def _init(state: MFState, dd_: DeviceData):
             loss = common.user_losses(
                 state.user_emb, state.item_emb, state.item_gramian,
-                dd.by_user, dd.num_users, self.cfg.uobs_weight,
+                dd_.by_user, dd_.num_users, self.cfg.uobs_weight,
                 halve=True, dtype=self.asm_dtype)
             return state.replace(user_loss=loss, steps=jnp.int32(0))
 
-        self.state = _init(self.state)
+        # dd is an ARGUMENT, not a closure: a multi-process mesh forbids
+        # closing over arrays with non-addressable shards
+        self.state = _init(self.state, dd)

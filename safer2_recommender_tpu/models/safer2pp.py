@@ -110,10 +110,10 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         the reference's cache priming is folded away — predictions are
         recomputed wherever needed)."""
         @jax.jit
-        def _init(state: MFState):
+        def _init(state: MFState, dd_: DeviceData):
             loss = common.user_losses(
                 state.user_emb, state.item_emb, state.item_gramian,
-                dd.by_user, dd.num_users, self.cfg.uobs_weight,
+                dd_.by_user, dd_.num_users, self.cfg.uobs_weight,
                 halve=True, dtype=self.asm_dtype)
             key, sub = jax.random.split(state.key)
             xi = quantile.compute_xi(
@@ -125,7 +125,8 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
                 sampling_ratio=self.cfg.sampling_ratio)
             return state.replace(user_loss=loss, xi=xi, key=key)
 
-        self.state = _init(self.state)
+        # dd as argument (multi-process meshes forbid array closures)
+        self.state = _init(self.state, dd)
 
     def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
         """8 blockwise fold-in epochs with weight 1 (reference

@@ -75,6 +75,20 @@ def put(x, sharding):
     return jax.device_put(x, sharding)
 
 
+def to_host(x) -> np.ndarray:
+    """``np.asarray`` that also works for multi-process global arrays.
+
+    A jitted program over a multi-host mesh can return row-sharded
+    outputs whose shards live partly on other processes' devices;
+    ``np.asarray`` on those raises. Replicate first (an all-gather over
+    the array's own mesh), then convert."""
+    if isinstance(x, jax.Array) and not (x.is_fully_addressable
+                                         or x.is_fully_replicated):
+        sh = NamedSharding(x.sharding.mesh, P())
+        x = jax.jit(lambda a: a, out_shardings=sh)(x)
+    return np.asarray(x)
+
+
 def shard_pytree_rows(tree, mesh: Optional[Mesh]):
     """Shard every array leaf of a pytree along its leading axis;
     scalar (0-d) leaves replicate."""

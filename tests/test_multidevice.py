@@ -167,43 +167,10 @@ def test_epoch_collective_bytes_bounded(tiny, mesh, name, budget_ratio):
         f"{table_bytes} table bytes — traffic model broken: {traffic}")
 
 
-def test_multihost_put_assembles_global_shape(monkeypatch):
-    # The multi-host branch of parallel/mesh.py::put must pass
-    # global_shape=x.shape to jax.make_array_from_process_local_data:
-    # every host parses the FULL csv, so without it the helper would
-    # scale the sharded dim by process_count and concatenate the hosts'
-    # identical copies (the bug fixed in commit 5d0b19b). A real pod is
-    # not available here, so the process topology is mocked and the
-    # assembly call recorded.
-    import types
-
-    from safer2_recommender_tpu.parallel import mesh as mesh_lib
-
-    calls = {}
-
-    def fake_assemble(sharding, x, global_shape=None):
-        calls["global_shape"] = global_shape
-        calls["x_shape"] = x.shape
-        return "global-array"
-
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
-    monkeypatch.setattr(jax, "process_index", lambda: 0)
-    monkeypatch.setattr(jax, "make_array_from_process_local_data",
-                        fake_assemble)
-    dev0 = types.SimpleNamespace(process_index=0)
-    dev1 = types.SimpleNamespace(process_index=1)
-    devices = np.empty(2, dtype=object)
-    devices[:] = [dev0, dev1]
-    sharding = types.SimpleNamespace(
-        mesh=types.SimpleNamespace(devices=devices))
-
-    x = np.arange(48, dtype=np.int32).reshape(16, 3)
-    out = mesh_lib.put(x, sharding)
-    assert out == "global-array"
-    assert calls["global_shape"] == (16, 3), (
-        "multi-host put dropped global_shape — every host holds the "
-        "full array, so the assembled global array would be "
-        "process_count x too long (commit 5d0b19b regression)")
+# (the former mocked multi-host `put` signature test is superseded by
+# tests/test_distributed.py, which runs the REAL 2-process branch:
+# a dropped global_shape would concatenate the hosts' identical copies
+# and fail its state-equality assert)
 
 
 def test_sharded_rotated_direct_matches_single_device(mesh):
