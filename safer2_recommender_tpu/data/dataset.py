@@ -486,12 +486,29 @@ class FoldInData:
             nnz=tr.nnz,
         )
         if mesh is not None:
-            rep = mesh_lib.replicated(mesh)
+            # Shard the fold-in buckets like DeviceData.shard does for
+            # training — without this the whole eval program (fold-in
+            # solves, scoring matmul, top-k) compiled replicated: every
+            # device redid all the work and eval did not scale at all
+            # (found by auditing the eval path's collectives: zero).
+            # The row-aligned metric arrays shard too; n_pad is rounded
+            # to row_multiple * num_shards above so rows divide evenly.
+            shard_bucket = lambda b: Bucket(
+                row_ids=mesh_lib.put(b.row_ids,
+                                     mesh_lib.row_sharding(mesh, 1)),
+                col_ids=mesh_lib.put(b.col_ids,
+                                     mesh_lib.row_sharding(mesh, 2)),
+                length=mesh_lib.put(b.length,
+                                    mesh_lib.row_sharding(mesh, 1)),
+            )
+            rows = lambda x: mesh_lib.put(
+                x, mesh_lib.row_sharding(mesh, np.ndim(x)))
             fd = dataclasses.replace(
                 fd,
-                excl=mesh_lib.put(fd.excl, rep),
-                gt=mesh_lib.put(fd.gt, rep),
-                gt_len=mesh_lib.put(fd.gt_len, rep),
-                hist_size=mesh_lib.put(fd.hist_size, rep),
+                by_user=tuple(shard_bucket(b) for b in fd.by_user),
+                excl=rows(fd.excl),
+                gt=rows(fd.gt),
+                gt_len=rows(fd.gt_len),
+                hist_size=rows(fd.hist_size),
             )
         return fd

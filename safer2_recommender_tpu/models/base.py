@@ -296,9 +296,7 @@ class Recommender:
                        excl: jax.Array, *, k: int) -> jax.Array:
         # chunked like _eval_metrics: an unchunked [n_pad, num_items]
         # score matrix for a large serving batch would exhaust HBM
-        chunk = min(self.cfg.eval_chunk, ue.shape[0])
-        while ue.shape[0] % chunk:
-            chunk -= 1
+        chunk = self._eval_chunk(ue.shape[0])
         n_chunks = ue.shape[0] // chunk
 
         def score_chunk(args):
@@ -308,18 +306,40 @@ class Recommender:
             return topk_ids(scores, ex, k)
 
         ids = jax.lax.map(score_chunk,
-                          (ue.reshape(n_chunks, chunk, -1),
-                           excl.reshape(n_chunks, chunk, -1)))
+                          (self._shard_chunked(ue.reshape(n_chunks, chunk, -1)),
+                           self._shard_chunked(excl.reshape(n_chunks, chunk, -1))))
         return ids.reshape(-1, k)
+
+    def _eval_chunk(self, n_pad: int) -> int:
+        """Largest divisor of the fold's padded row count that fits the
+        configured chunk (FoldInData pads to its own default multiple,
+        so an arbitrary eval_chunk need not divide n_pad). On a mesh the
+        chunk must also split evenly over the data axis so the scoring
+        rows inside each lax.map step stay sharded."""
+        from safer2_recommender_tpu.parallel.mesh import num_shards
+        step = num_shards(self.mesh)
+        chunk = min(self.cfg.eval_chunk, n_pad)
+        chunk = max(chunk - chunk % step, step)   # n_pad % step == 0
+        while n_pad % chunk:
+            chunk -= step
+        return chunk
+
+    def _shard_chunked(self, x: jax.Array) -> jax.Array:
+        """Constrain a chunked [n_chunks, chunk, ...] operand so the
+        lax.map scan axis is replicated and the rows WITHIN each chunk
+        shard over the mesh — the reshape from row-sharded [n_pad, ...]
+        would otherwise leave the scan axis sharded (which forces a
+        gather) or replicate the whole scoring program."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(None, "data", *([None] * (x.ndim - 2)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, spec))
 
     def _eval_metrics(self, ue: jax.Array, item_emb: jax.Array,
                       fold: FoldInData, *, k_list: Tuple[int, ...]):
-        # largest divisor of the fold's padded row count that fits the
-        # configured chunk (FoldInData pads to its own default multiple,
-        # so an arbitrary eval_chunk need not divide n_pad)
-        chunk = min(self.cfg.eval_chunk, fold.n_pad)
-        while fold.n_pad % chunk:
-            chunk -= 1
+        chunk = self._eval_chunk(fold.n_pad)
         n_chunks = fold.n_pad // chunk
         d = ue.shape[1]
 
@@ -335,10 +355,10 @@ class Recommender:
         rec, ndcg = jax.lax.map(
             score_chunk,
             (
-                ue.reshape(n_chunks, chunk, d),
-                fold.excl.reshape(n_chunks, chunk, -1),
-                fold.gt.reshape(n_chunks, chunk, -1),
-                fold.gt_len.reshape(n_chunks, chunk),
+                self._shard_chunked(ue.reshape(n_chunks, chunk, d)),
+                self._shard_chunked(fold.excl.reshape(n_chunks, chunk, -1)),
+                self._shard_chunked(fold.gt.reshape(n_chunks, chunk, -1)),
+                self._shard_chunked(fold.gt_len.reshape(n_chunks, chunk)),
             ),
         )
         nk = len(k_list)

@@ -42,21 +42,47 @@ def main():
     dd = DeviceData.build(ds, mesh=mesh, dim=DIM)
     table_bytes = (ds.num_users + ds.num_items) * DIM * 4
 
+    from safer2_recommender_tpu import FoldInData
+
+    tr = Dataset(ds.user_ids[::2], ds.item_ids[::2])
+    te = Dataset(ds.user_ids[1::2], ds.item_ids[1::2])
+    fold = FoldInData.build(tr, te, num_items=ds.num_items, dim=DIM,
+                            mesh=mesh)
+
+    def show(tag, traffic, basis_bytes, basis_tag):
+        tot = total_bytes(traffic)
+        print(f"-- {tag} --")
+        for kind, (cnt, byt) in sorted(traffic.items()):
+            print(f"  {kind:<22} x{cnt:<4} {byt / 1e6:10.3f} MB")
+        print(f"  {'TOTAL':<22}       {tot / 1e6:10.3f} MB"
+              f"   ({basis_tag}: {basis_bytes / 1e6:.3f} MB, "
+              f"ratio {tot / basis_bytes:.2f}x)")
+
     for name in ("safer2", "safer2pp", "ials"):
         cfg = Config(dim=DIM, block_size=max(DIM // 8, 8), alpha=0.3,
                      bandwidth=0.15, compute_dtype="f32")
         model = get_model(name, cfg, ds.num_users, ds.num_items, mesh=mesh)
         hlo = (jax.jit(model._epoch)
                .lower(model.state, dd).compile().as_text())
-        traffic = collective_traffic(hlo)
-        tot = total_bytes(traffic)
-        print(f"\n== {name} epoch (dim={DIM}, {ds.nnz} tuples, "
-              f"8-device mesh) ==")
-        for kind, (cnt, byt) in sorted(traffic.items()):
-            print(f"  {kind:<22} x{cnt:<4} {byt / 1e6:10.3f} MB")
-        print(f"  {'TOTAL':<22}       {tot / 1e6:10.3f} MB"
-              f"   (U+V tables: {table_bytes / 1e6:.3f} MB, "
-              f"ratio {tot / table_bytes:.2f}x)")
+        print(f"\n== {name} (dim={DIM}, {ds.nnz} tuples, 8-device mesh) ==")
+        show("training epoch", collective_traffic(hlo), table_bytes,
+             "U+V tables")
+
+        # Eval path (VERDICT r2 item 7): fold-in + chunked scoring/top-k.
+        hlo_f = (jax.jit(model._fold_in)
+                 .lower(model.state, fold).compile().as_text())
+        ue = model._fold_in_jit(model.state, fold)
+        hlo_e = (jax.jit(model._eval_metrics, static_argnames=("k_list",))
+                 .lower(ue, model.state.item_emb, fold,
+                        k_list=(5, 10, 20, 50, 100)).compile().as_text())
+        ue_bytes = fold.n_pad * DIM * 4
+        input_bytes = ue_bytes + sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in (fold.excl, fold.gt, fold.gt_len))
+        show("eval fold-in", collective_traffic(hlo_f), ue_bytes,
+             "eval-user table")
+        show("eval scoring+metrics", collective_traffic(hlo_e),
+             input_bytes, "eval inputs")
 
 
 if __name__ == "__main__":

@@ -173,6 +173,58 @@ def test_epoch_collective_bytes_bounded(tiny, mesh, name, budget_ratio):
 # and fail its state-equality assert)
 
 
+@pytest.mark.parametrize("name", ["safer2", "safer2pp"])
+def test_eval_collective_bytes_bounded(tiny, mesh, name):
+    # Regression gate on the EVAL path's cross-device traffic (VERDICT
+    # r2 item 7): fold-in (safer2: one exact sweep; safer2pp: 8
+    # blockwise sweeps, reference ialspp.h:149-206) plus the chunked
+    # scoring/top-k program. Measured behavior: fold-in gathers the
+    # solved eval rows back (~1x the [n_pad, dim] table per sweep
+    # family), and _eval_metrics reshards its four row-aligned operands
+    # into the chunked layout once (~1x their combined bytes). A
+    # sharding regression — e.g. the [chunk, num_items] score matrices
+    # or the [N, L, d] fold-in slabs gathering across devices — lands
+    # an order of magnitude above this budget. Before round 3 the whole
+    # eval path compiled REPLICATED (zero collectives, no scaling), so
+    # the gate also asserts traffic is nonzero.
+    from safer2_recommender_tpu import FoldInData
+    from safer2_recommender_tpu.data.dataset import Dataset
+    from safer2_recommender_tpu.parallel.audit import (collective_traffic,
+                                                       total_bytes)
+
+    ds, _ = tiny
+    tr = Dataset(ds.user_ids[::2], ds.item_ids[::2])
+    te = Dataset(ds.user_ids[1::2], ds.item_ids[1::2])
+    cfg = Config(dim=16, block_size=8, compute_dtype="f32")
+    m = get_model(name, cfg, ds.num_users, ds.num_items, mesh=mesh)
+    fold = FoldInData.build(tr, te, num_items=ds.num_items, dim=16,
+                            mesh=mesh)
+    k_list = (5, 10, 20, 50, 100)
+
+    hlo_f = jax.jit(m._fold_in).lower(m.state, fold).compile().as_text()
+    ue = m._fold_in_jit(m.state, fold)
+    hlo_e = (jax.jit(m._eval_metrics, static_argnames=("k_list",))
+             .lower(ue, m.state.item_emb, fold, k_list=k_list)
+             .compile().as_text())
+
+    tf = collective_traffic(hlo_f)
+    te_ = collective_traffic(hlo_e)
+    assert tf, f"{name}: fold-in compiled replicated (zero collectives)"
+    assert te_, f"{name}: eval compiled replicated (zero collectives)"
+
+    ue_bytes = fold.n_pad * cfg.dim * 4
+    input_bytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                      for x in (fold.excl, fold.gt, fold.gt_len)) + ue_bytes
+    sweeps = cfg.eval_fold_in_epochs if name == "safer2pp" else 1
+    slack = 256 * 1024
+    assert total_bytes(tf) <= 2.0 * sweeps * ue_bytes + slack, (
+        f"{name} fold-in: {total_bytes(tf)} collective bytes vs "
+        f"{ue_bytes} ue bytes — eval traffic model broken: {tf}")
+    assert total_bytes(te_) <= 2.0 * input_bytes + slack, (
+        f"{name} eval: {total_bytes(te_)} collective bytes vs "
+        f"{input_bytes} input bytes — eval traffic model broken: {te_}")
+
+
 def test_sharded_rotated_direct_matches_single_device(mesh):
     # Buckets wider than dim/2 take the eigenbasis-rotated direct path
     # (vector ridge through the custom-partitioned solver); it must
