@@ -143,8 +143,13 @@ class CheckpointManager:
 def _put_like(value, template) -> jax.Array:
     """Re-materialize a restored leaf with the template's sharding —
     np.load gives host arrays, and without the device_put a --mesh run
-    resumed from an npz checkpoint would sit whole on one device."""
+    resumed from an npz checkpoint would sit whole on one device.
+    Routed through mesh.put so a large table (MSD-scale embeddings are
+    ~1.1 GB) transfers in chunks (see parallel/mesh.py)."""
+    from .parallel import mesh as _mesh
+
     sharding = getattr(template, "sharding", None)
-    if sharding is not None and not isinstance(value, jax.Array):
-        return jax.device_put(value, sharding)
+    if not isinstance(value, jax.Array) and (
+            sharding is not None or np.ndim(value) > 0):
+        return _mesh.put(value, sharding)
     return jax.numpy.asarray(value)

@@ -359,16 +359,45 @@ def chol_inverse(a: jax.Array, ridge: jax.Array = None) -> jax.Array:
 # so substitution never meets a triangular solve (XLA's lowering of
 # which is the per-column-loop disaster this module exists to avoid).
 #
-# STATUS: numerically verified on CPU at every size (tests/test_ops.py)
-# but opt-in (FRT_FACTORED_SOLVE=1): on the tunneled v5e runtime the
-# factored program at d >= 128 dispatched fine and then never completed
-# (device-side hang; killing the client left the chip wedged for ~30
-# min). Until that is root-caused on hardware with device logs, the
-# default path stays the proven explicit inversion.
+# STATUS (round 3, resolved): DEFAULT on TPU for batches >= _FACTORED_MIN_N.
+# The round-1 "factored-solve device hang" was root-caused on hardware to a
+# transfer artifact, not the solver: a single >= 512 MB host->device
+# jax.device_put over the tunneled v5e runtime never completes (a bare
+# device_put of a 512 MB ones() hangs with no solver code anywhere), and
+# the repro scripts were transferring the [N, d, d] operands from host.
+# With on-device operands (how every model epoch builds its normal
+# equations) both paths run at every shape. Measured steady-state on the
+# v5e (scripts/ab_factored.py, 16-solve scan chains, dispatch floor
+# subtracted):
+#
+#     [N, d]        explicit    factored
+#     [2048, 128]   3.84 ms     2.98 ms   (1.29x)
+#     [1024, 256]   6.76 ms     5.17 ms   (1.31x)
+#     [ 256, 512]   6.42 ms     4.40 ms   (1.46x)
+#     [  16, 512]   1.50 ms     1.67 ms   (0.90x)
+#
+# so the factorization's 3x FLOP saving is real at the hot shapes and
+# only the tiny-batch tail prefers the explicit inverse (its two matvecs
+# beat the substitution recursion's dispatch depth there) — hence the
+# static batch-size gate. FRT_FACTORED_SOLVE=1/0 still forces the path
+# unconditionally (the A/B and CPU-coverage hook).
+
+_FACTORED_MIN_N = 64
 
 
 def _use_factored() -> bool:
+    """Forced factored path (env set to 1) — also overrides LAPACK."""
     return os.environ.get("FRT_FACTORED_SOLVE") == "1"
+
+
+def _factored_for(n: int) -> bool:
+    """Path choice for a batch of n systems (n is static under jit)."""
+    env = os.environ.get("FRT_FACTORED_SOLVE")
+    if env is not None:
+        return env == "1"
+    if _interpret() or jax.default_backend() == "tpu":
+        return n >= _FACTORED_MIN_N
+    return False
 
 
 def _use_lapack() -> bool:
@@ -481,13 +510,15 @@ def spd_solve(a: jax.Array, b: jax.Array,
     [N, d, d], b [N, d] -> [N, d]; ridge None, [N] (scalar shift per
     system) or [N, d] (full diagonal shift).
 
-    Default: x = inv(L)^T @ (inv(L) @ b) via the explicit blocked
-    inverse. With FRT_FACTORED_SOLVE=1: blocked Cholesky factorization +
-    forward/backward substitution (see the factored-solve section above;
-    3x fewer FLOPs, opt-in pending a device-side hang root-cause; the
-    opt-in also wins over the CPU dispatch below). On the CPU backend the
-    solve dispatches to LAPACK instead (see ``_use_lapack``;
-    FRT_NO_LAPACK_SOLVE=1 or FRT_FACTORED_SOLVE=1 restores the blocked
+    On TPU (and in interpret mode) batches of >= _FACTORED_MIN_N systems
+    use the blocked Cholesky factorization + forward/backward
+    substitution (3x fewer FLOPs, measured 1.3-1.5x faster at the hot
+    shapes — see the factored-solve section above); smaller batches use
+    x = inv(L)^T @ (inv(L) @ b) via the explicit blocked inverse.
+    FRT_FACTORED_SOLVE=1/0 forces the choice either way (=1 also wins
+    over the CPU dispatch below). On the CPU backend the solve
+    dispatches to LAPACK instead (see ``_use_lapack``;
+    FRT_NO_LAPACK_SOLVE=1 or FRT_FACTORED_SOLVE restores the blocked
     paths).
     Degenerate all-zero systems are bumped to the identity so the
     factorization stays finite; the zero test uses the RHS (for SPD a,
@@ -508,7 +539,7 @@ def spd_solve(a: jax.Array, b: jax.Array,
         ridge = bump[:, None] + ridge
     if _use_lapack():
         return _lapack_solve(a, b, ridge)
-    if not _use_factored():
+    if not _factored_for(n):
         inv = chol_inverse(a, ridge)
         y = _bdot(inv, b[:, :, None], (((2,), (1,))))      # inv @ b
         x = _bdot(inv, y, (((1,), (1,))))                  # inv^T @ y

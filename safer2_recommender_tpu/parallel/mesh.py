@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -50,6 +51,30 @@ def replicated(mesh: Optional[Mesh]) -> Optional[NamedSharding]:
     return NamedSharding(mesh, P())
 
 
+# A SINGLE >= 512 MB host->device transfer never completes over the
+# tunneled TPU runtime (measured round 3: a bare jax.device_put of a
+# 512 MB ones() hangs and wedges the chip; 256 MB completes — this was
+# the true cause of the round-1 "factored-solve hang", see
+# ops/block_chol.py). Large host arrays are therefore shipped in row
+# chunks and concatenated on device.
+_TRANSFER_CHUNK_BYTES = 128 * 1024 * 1024
+
+
+def _chunked_put(x, sharding):
+    x = np.asarray(x)
+    row_bytes = x.nbytes // x.shape[0]
+    rows = max(1, _TRANSFER_CHUNK_BYTES // max(1, row_bytes))
+    parts = [jax.device_put(x[i:i + rows])
+             for i in range(0, x.shape[0], rows)]
+    out_sh = sharding
+    if out_sh is None and jax.default_backend() != "cpu":
+        out_sh = jax.sharding.SingleDeviceSharding(parts[0].devices().pop())
+    cat = lambda *p: jnp.concatenate(p, axis=0)  # noqa: E731
+    if out_sh is None:
+        return jax.jit(cat)(*parts)
+    return jax.jit(cat, out_shardings=out_sh)(*parts)
+
+
 def put(x, sharding):
     """device_put honoring ``sharding=None`` (single-device).
 
@@ -58,12 +83,12 @@ def put(x, sharding):
     non-addressable devices; every process holds the same full host
     array (each host parses the full CSV), so the global array is
     assembled from each process's addressable shards instead.
+
+    Host arrays above _TRANSFER_CHUNK_BYTES transfer in row chunks (see
+    above) on the single-process paths.
     """
-    if sharding is None:
-        return jax.device_put(x)
-    if jax.process_count() > 1 and any(
-            d.process_index != jax.process_index()
-            for d in sharding.mesh.devices.flat):
+    if (jax.process_count() > 1 and sharding is not None
+            and not sharding.is_fully_addressable):
         # global_shape must be passed explicitly: without it the helper
         # assumes each process holds only ITS slice and scales the
         # sharded dimension by process_count — but every host here has
@@ -72,6 +97,12 @@ def put(x, sharding):
         x = np.asarray(x)
         return jax.make_array_from_process_local_data(
             sharding, x, global_shape=x.shape)
+    if (not isinstance(x, jax.Array) and np.ndim(x) > 0
+            and np.asarray(x).nbytes > _TRANSFER_CHUNK_BYTES
+            and np.asarray(x).shape[0] > 1):
+        return _chunked_put(x, sharding)
+    if sharding is None:
+        return jax.device_put(x)
     return jax.device_put(x, sharding)
 
 
@@ -93,7 +124,7 @@ def shard_pytree_rows(tree, mesh: Optional[Mesh]):
     """Shard every array leaf of a pytree along its leading axis;
     scalar (0-d) leaves replicate."""
     if mesh is None:
-        return jax.device_put(tree)
+        return jax.tree_util.tree_map(lambda x: put(x, None), tree)
 
     def _shard(x):
         nd = np.ndim(x)

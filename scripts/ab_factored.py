@@ -44,11 +44,14 @@ def main():
     rng = np.random.default_rng(0)
     for n, d in SHAPES:
         b = rng.standard_normal((n, d, 16)).astype(np.float32)
-        a = jnp.asarray(np.einsum("nik,njk->nij", b, b)
-                        + 0.5 * np.eye(d, dtype=np.float32))
+        # assemble [n, d, d] ON DEVICE — a single large host device_put
+        # hangs the tunneled runtime (see repro_factored_hang.py)
+        a = jax.jit(lambda b: jnp.einsum("nik,njk->nij", b, b)
+                    + 0.5 * jnp.eye(d, dtype=jnp.float32))(jnp.asarray(b))
         rhs = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
-        x_np = np.linalg.solve(np.asarray(a),
-                               np.asarray(rhs)[..., None])[..., 0]
+        a_np = np.einsum("nik,njk->nij", b, b) + 0.5 * np.eye(
+            d, dtype=np.float32)
+        x_np = np.linalg.solve(a_np, np.asarray(rhs)[..., None])[..., 0]
         for label, env in (("explicit", "0"), ("factored", "1")):
             os.environ["FRT_FACTORED_SOLVE"] = env
             # module-level spd_solve is jitted once: its executable would

@@ -1,11 +1,18 @@
-"""Minimal repro for the factored-solve device hang (VERDICT r1 item 7).
+"""Repro for the round-1 "factored-solve device hang" — RESOLVED round 3.
 
-Round 1 observed: with FRT_FACTORED_SOLVE=1 the solve program at d >= 128
-dispatched and never completed on the tunneled v5e runtime (chip wedged
-~30 min after killing the client). This drives the suspect path at the
-smallest shape that showed it, in stages, so the exact failing stage is
-recorded. Run under ``timeout`` from a wrapper; each stage prints a line
-BEFORE dispatching so the log shows where it stopped.
+Root cause (recorded runs, 2026-08-20): not the solver. This script used
+to ``device_put`` its host-built [N, d, d] operand, and a SINGLE
+>= 512 MB host->device transfer over the tunneled v5e runtime never
+completes (a bare ``jax.device_put(np.ones((512,512,512)))`` hangs with
+no solver code; 256 MB completes; BOTH solver paths "hung" identically
+at (d=512, n>=512) and worked at n=256). Killing the client
+mid-transfer wedges the chip for ~30 min. Fixes: operands here are now
+built ON DEVICE, and ``parallel/mesh.py::put`` chunks large host
+transfers. The factored path is the TPU default since round 3
+(``ops/block_chol.py::_factored_for``; docs/PERFORMANCE.md).
+
+This script remains as the staged probe: each stage prints a line
+BEFORE dispatching so a log shows where a run stopped.
 
 Usage: FRT_FACTORED_SOLVE=1 timeout 300 python scripts/repro_factored_hang.py [d] [n]
 """
@@ -31,9 +38,13 @@ def main():
           flush=True)
     rng = np.random.default_rng(0)
     b = rng.standard_normal((N, D, 8)).astype(np.float32)
-    a = np.einsum("nik,njk->nij", b, b) + 0.5 * np.eye(D, dtype=np.float32)
     rhs = rng.standard_normal((N, D)).astype(np.float32)
-    a, rhs = jnp.asarray(a), jnp.asarray(rhs)
+    # assemble the [N, D, D] operand ON DEVICE: transferring it from host
+    # is exactly the >=512MB single-device_put hang this repro chased
+    a = jax.jit(lambda b: jnp.einsum("nik,njk->nij", b, b)
+                + 0.5 * jnp.eye(D, dtype=jnp.float32))(jnp.asarray(b))
+    a.block_until_ready()
+    rhs = jnp.asarray(rhs)
 
     for stage, fn in [
         ("spd_solve", lambda: block_chol.spd_solve(a, rhs)),

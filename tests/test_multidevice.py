@@ -254,3 +254,27 @@ def test_sharded_rotated_direct_matches_single_device(mesh):
     np.testing.assert_allclose(np.asarray(m1.state.user_emb),
                                np.asarray(m2.state.user_emb),
                                rtol=5e-3, atol=5e-5)
+
+
+def test_chunked_put_matches_direct(mesh, monkeypatch):
+    # Large host arrays ship in row chunks (a single >=512MB transfer
+    # hangs the tunneled TPU runtime — parallel/mesh.py). Shrink the
+    # threshold so the chunked path runs, and check value + sharding
+    # equality against the direct path, replicated/sharded/unsharded.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from safer2_recommender_tpu.parallel import mesh as pmesh
+
+    monkeypatch.setattr(pmesh, "_TRANSFER_CHUNK_BYTES", 1024)
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(64, 33)).astype(np.float32)  # 8.4KB > 1KB
+    for sh in (None,
+               NamedSharding(mesh, P("data", None)),
+               NamedSharding(mesh, P())):
+        got = pmesh.put(x, sh)
+        np.testing.assert_array_equal(np.asarray(got), x)
+        if sh is not None:
+            assert got.sharding.is_equivalent_to(sh, x.ndim)
+    # tiny arrays and 0-d scalars take the direct path untouched
+    np.testing.assert_array_equal(np.asarray(pmesh.put(x[:1], None)), x[:1])
+    assert float(pmesh.put(np.float32(3.0), None)) == 3.0

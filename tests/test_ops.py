@@ -398,10 +398,48 @@ def test_spd_solve_ridge_param_matches_explicit(spd_solve_path):
         np.testing.assert_allclose(x, want, rtol=2e-3, atol=2e-4)
 
 
+def test_spd_solve_factored_default_gate(monkeypatch):
+    # TPU/interpret default: factored for batches >= _FACTORED_MIN_N,
+    # explicit below (measured crossover, see block_chol.py); env forces
+    # either way; plain CPU stays off (LAPACK dispatch wins there)
+    from safer2_recommender_tpu.ops import block_chol
+
+    monkeypatch.delenv("FRT_FACTORED_SOLVE", raising=False)
+    assert not block_chol._factored_for(1024)  # cpu backend
+    monkeypatch.setenv("FRT_PALLAS_INTERPRET", "1")
+    assert block_chol._factored_for(block_chol._FACTORED_MIN_N)
+    assert not block_chol._factored_for(block_chol._FACTORED_MIN_N - 1)
+    monkeypatch.setenv("FRT_FACTORED_SOLVE", "0")
+    assert not block_chol._factored_for(1024)
+    monkeypatch.setenv("FRT_FACTORED_SOLVE", "1")
+    assert block_chol._factored_for(1)
+
+
+def test_spd_solve_default_interpret_matches_numpy(monkeypatch):
+    # the production TPU default (factored, batch >= gate) vs numpy,
+    # exercised via interpret mode on the CPU suite. d=64 keeps the
+    # interpreted Pallas lane subtree affordable; the d>=128 block
+    # substitution recursion is covered (fast, no Pallas) by the
+    # forced-factored CPU-backend test below.
+    from safer2_recommender_tpu.ops import block_chol
+
+    monkeypatch.delenv("FRT_FACTORED_SOLVE", raising=False)
+    monkeypatch.setenv("FRT_PALLAS_INTERPRET", "1")
+    block_chol.spd_solve.clear_cache()
+    rng = np.random.default_rng(3)
+    for n, d in ((96, 64), (16, 64)):  # straddle the gate
+        a = _random_spd(rng, n, d)
+        b = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        x = np.asarray(block_chol.spd_solve(a, b))
+        want = np.linalg.solve(np.asarray(a), np.asarray(b)[..., None])[..., 0]
+        np.testing.assert_allclose(x, want, rtol=2e-3, atol=2e-4)
+    block_chol.spd_solve.clear_cache()
+
+
 @pytest.mark.parametrize("d", [16, 96, 128, 256])
 def test_spd_solve_factored_path_matches_default(d, monkeypatch):
-    # the opt-in factored solver (FRT_FACTORED_SOLVE=1) must agree with
-    # the default explicit-inversion path
+    # the forced factored solver (FRT_FACTORED_SOLVE=1) must agree with
+    # the CPU-default path
     from safer2_recommender_tpu.ops import block_chol
 
     rng = np.random.default_rng(11)
