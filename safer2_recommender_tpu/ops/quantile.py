@@ -111,6 +111,15 @@ def exact_quantile(losses: jax.Array, alpha: float) -> jax.Array:
     # alpha == 1.0 would index one past the end (the reference's
     # nth_element reads out of bounds there); clamp to the smallest loss.
     q = min(int(n * alpha), n - 1)
-    # sort descending, take index q
+    if q + 1 > _TOPK_MAX_K:
+        # top_k's cost grows with k (per-element insertion against a
+        # k-wide running set); at MSD scale (n=571k, alpha=0.3) the
+        # selection is 171k wide and a full k-independent sort wins.
+        return jnp.sort(losses)[n - 1 - q]
     top = jax.lax.top_k(losses, q + 1)[0]
     return top[q]
+
+
+# Crossover between top_k(k) and a full sort for exact_quantile; see
+# scripts/probe_quantile.py for the measurement.
+_TOPK_MAX_K = 1024

@@ -164,6 +164,21 @@ def test_exact_quantile_matches_reference_semantics():
     assert got == pytest.approx(want)
 
 
+def test_exact_quantile_sort_path_matches_topk():
+    # above _TOPK_MAX_K selections exact_quantile switches from top_k to
+    # a full sort (k-independent; MSD-scale selections are 171k wide) —
+    # both must produce the reference's nth_element answer, ties included
+    rng = np.random.default_rng(6)
+    n = 4 * quantile._TOPK_MAX_K
+    losses = np.round(rng.normal(size=n) * 8).astype(np.float32)  # ties
+    for alpha in (0.3, 0.9, 1.0):
+        got = float(quantile.exact_quantile(jnp.asarray(losses), alpha))
+        q = min(int(n * alpha), n - 1)
+        assert q + 1 > quantile._TOPK_MAX_K  # sort path taken
+        want = np.sort(losses)[::-1][q]
+        assert got == pytest.approx(want)
+
+
 # --------------------------------------------------------------------------
 # Batched SPD solver (ops/block_chol.py)
 # --------------------------------------------------------------------------
