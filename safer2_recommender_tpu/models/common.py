@@ -474,7 +474,7 @@ class BlockSpec:
 
 def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
                        *, bs: int, n_sweeps: int = 1, dtype=None,
-                       extra_vec=None):
+                       extra_vec=None, eig=None):
     """Blockwise coordinate sweep(s) of one side against the FROZEN
     other side — the ++ models' hot loop.
 
@@ -508,6 +508,25 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
     fused slab gather. Zipf-head rows whose slab cannot materialize
     instead stream ONE full normal-equation pass (S, r0) and solve every
     block from slices of it (``assemble.wide_gram_resid``).
+
+    ``eig``, when given, is ``(Q, lam)`` of the FULL ``gram`` (from
+    ``woodbury.maybe_eigh``) and upgrades every MID-WIDTH bucket —
+    history wider than the block-Woodbury gate but still Woodbury-
+    eligible at full dim (bs/2 < width <= dim/2) — to ONE full-dim
+    block per sweep solved via full-dim Woodbury. Rationale (round-3
+    trace): those buckets' per-block bs x bs Cholesky kernels were 36%
+    of the ++ epoch at ~0.7 TF/s (VPU-bound), while ONE L x L
+    capacitance solve per row replaces all dim/bs of them; a full-dim
+    block is still block coordinate descent (the largest block), so the
+    fixed points and the model contract are unchanged — only the
+    per-sweep trajectory improves (a full solve is the limit the block
+    sweep iterates toward; cf. test_ialspp_full_block_equals_ials).
+    The reference has no such split because it has no Woodbury path at
+    all — its ++ blocks exist precisely to avoid d x d solves
+    (ialspp.h:85-145); ours avoids them better where history permits.
+    Narrow buckets (2*width <= bs) keep the bs-block sweeps: their
+    per-block rotations cost L*bs*d per row vs the full-dim rotation's
+    L*d^2 — the genuine ++ advantage. FRT_NO_FULL_WOOD=1 disables.
     """
     if not buckets:
         return table_self
@@ -533,6 +552,10 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
         lam_all, q_all = jnp.linalg.eigh(diag)
         lam_all = jnp.maximum(lam_all, 0.0)
 
+    q_full = lam_full = None
+    if eig is not None and not os.environ.get("FRT_NO_FULL_WOOD"):
+        q_full, lam_full = eig
+
     def gather(b):
         if extra_vec is None:
             emb, mask = assemble.gather_history(table_other, b, dtype)
@@ -540,17 +563,17 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
         return assemble.gather_history_extra(table_other, extra_vec, b,
                                              dtype)
 
-    def run_blocks(carry, blk):
-        """Drive blk(carry, s, bs_static) over n_sweeps x blocks; one
+    def run_blocks(carry, blk, bs_b=bs, sweeps_b=n_sweeps):
+        """Drive blk(carry, s, bs_static) over sweeps_b x blocks; one
         lax.scan when blocks are uniform (the unrolled per-block chain
         made dim-512 programs take minutes to compile)."""
-        if dim % bs == 0:
-            offs = jnp.tile(jnp.arange(0, dim, bs), n_sweeps)
-            return jax.lax.scan(lambda c, s: (blk(c, s, bs), None),
+        if dim % bs_b == 0:
+            offs = jnp.tile(jnp.arange(0, dim, bs_b), sweeps_b)
+            return jax.lax.scan(lambda c, s: (blk(c, s, bs_b), None),
                                 carry, offs)[0]
-        for _ in range(n_sweeps):
-            for s in range(0, dim, bs):
-                carry = blk(carry, s, min(s + bs, dim) - s)
+        for _ in range(sweeps_b):
+            for s in range(0, dim, bs_b):
+                carry = blk(carry, s, min(s + bs_b, dim) - s)
         return carry
 
     def do_narrow(tbl, b):
@@ -559,6 +582,12 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
         xf = tbl[b.row_ids]
         pred = assemble.rowwise_dot(emb, xf)
         use_wood = wood and 2 * b.width <= bs   # static per bucket
+        # mid-width upgrade: ONE full-dim Woodbury block (see docstring)
+        full_wood = (q_full is not None and not use_wood
+                     and woodbury.applicable(b.width, dim))
+        # a full-dim block solves its normal equations exactly: further
+        # sweeps against the same frozen side are no-ops — run one
+        bs_b, sweeps_b = (dim, 1) if full_wood else (bs, n_sweeps)
 
         def blk(carry, s, bsz):
             xf, pred = carry
@@ -572,15 +601,18 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
                 rhs = rhs * spec.ch[:, None]
             rhs = (rhs + spec.cg[:, None] * (xf @ g_lg.T)
                    + spec.reg[:, None] * x_loc)
-            if use_wood:
-                k_i = s // bs
-                q_k = jax.lax.dynamic_index_in_dim(q_all, k_i, 0,
-                                                   keepdims=False)
-                lam_k = jax.lax.dynamic_index_in_dim(lam_all, k_i, 0,
-                                                     keepdims=False)
+            if use_wood or full_wood:
                 wt_eff = mask if wt is None else wt
                 if spec.ch is not None:
                     wt_eff = wt_eff * spec.ch[:, None]
+                if full_wood:
+                    q_k, lam_k = q_full, lam_full
+                else:
+                    k_i = s // bs
+                    q_k = jax.lax.dynamic_index_in_dim(q_all, k_i, 0,
+                                                       keepdims=False)
+                    lam_k = jax.lax.dynamic_index_in_dim(lam_all, k_i, 0,
+                                                         keepdims=False)
                 delta = -woodbury.solve_rhs(emb_loc, wt_eff, spec.reg,
                                             spec.cg, rhs, q_k, lam_k)
             else:
@@ -590,12 +622,14 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
                     a = a * spec.ch[:, None, None]
                 a = a + spec.cg[:, None, None] * g_loc[None]
                 delta = -solve.cholesky_solve(a, rhs, spec.reg)
-            pred = pred + jnp.sum(emb_loc * delta[:, None, :], axis=2)
+            if not (full_wood and sweeps_b == 1):
+                # single-full-block sweeps never reread pred
+                pred = pred + jnp.sum(emb_loc * delta[:, None, :], axis=2)
             xf = jax.lax.dynamic_update_slice_in_dim(xf, x_loc + delta,
                                                      s, axis=1)
             return xf, pred
 
-        xf, _ = run_blocks((xf, pred), blk)
+        xf, _ = run_blocks((xf, pred), blk, bs_b, sweeps_b)
         return assemble.scatter_rows(tbl, b.row_ids, xf)
 
     def do_wide(tbl, b):

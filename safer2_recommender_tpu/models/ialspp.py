@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
 from safer2_recommender_tpu.models.base import MFState, Recommender
+from safer2_recommender_tpu.ops import woodbury
 
 
 class IALSpp(Recommender):
@@ -58,28 +59,43 @@ class IALSpp(Recommender):
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         cfg = self.cfg
+        # (Q, lam) of each sweep's frozen Gramian upgrades mid-width
+        # buckets to one full-dim Woodbury block (block_sweep_frozen
+        # docstring); warm-started from the previous epoch's basis.
+        eig_u = woodbury.maybe_eigh(state.item_gramian, cfg.dim,
+                                    use_cg=False, q_prev=state.eig_qu,
+                                    refresh_tol=cfg.eig_refresh_tol)
         u = common.block_sweep_frozen(
             state.user_emb, state.item_emb, dd.by_user,
             state.item_gramian, self._spec_fn(dd.num_items),
-            bs=cfg.block_size, dtype=self.asm_dtype)
+            bs=cfg.block_size, dtype=self.asm_dtype, eig=eig_u)
         gram_u = u.T @ u
+        eig_v = woodbury.maybe_eigh(gram_u, cfg.dim, use_cg=False,
+                                    q_prev=state.eig_qv,
+                                    refresh_tol=cfg.eig_refresh_tol)
         v = common.block_sweep_frozen(
             state.item_emb, u, dd.by_item, gram_u,
             self._spec_fn(dd.num_users), bs=cfg.block_size,
-            dtype=self.asm_dtype)
+            dtype=self.asm_dtype, eig=eig_v)
         gram = v.T @ v
         loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
                                   cfg.uobs_weight, halve=False,
                                   dtype=self.asm_dtype)
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
-                             user_loss=loss, steps=state.steps + 1)
+                             user_loss=loss, steps=state.steps + 1,
+                             eig_qu=eig_u[0] if eig_u else state.eig_qu,
+                             eig_qv=eig_v[0] if eig_v else state.eig_qv)
 
     def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
         """8 blockwise fold-in epochs (reference ialspp.h:149-206); the
         item table is frozen throughout, so ONE slab gather per bucket
         serves all 8 x dim/block_size block solves."""
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
+        eig = woodbury.maybe_eigh(state.item_gramian, self.cfg.dim,
+                                  use_cg=False, q_prev=state.eig_qu,
+                                  refresh_tol=self.cfg.eig_refresh_tol)
         return common.block_sweep_frozen(
             ue, state.item_emb, fold.by_user, state.item_gramian,
             self._spec_fn(self.num_items), bs=self.cfg.block_size,
-            n_sweeps=self.cfg.eval_fold_in_epochs, dtype=self.asm_dtype)
+            n_sweeps=self.cfg.eval_fold_in_epochs, dtype=self.asm_dtype,
+            eig=eig)

@@ -32,7 +32,7 @@ from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
 from safer2_recommender_tpu.models.base import (MFState, Recommender,
                                                   SaferFamilyMixin, _log)
-from safer2_recommender_tpu.ops import quantile, smoothing
+from safer2_recommender_tpu.ops import quantile, smoothing, woodbury
 
 
 class SAFER2pp(SaferFamilyMixin, Recommender):
@@ -73,24 +73,35 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         u, v = state.user_emb, state.item_emb
         loss, dual = state.user_loss, state.dual_weight
         gram = state.item_gramian
+        eq_u, eq_v = state.eig_qu, state.eig_qv
         for _ in range(cfg.pd_iterations):
             # Vectorized z-step over the full dual vector
             # (safer2pp.h:839-862).
             dual = smoothing.dual_weight(loss, state.xi, cfg.bandwidth,
                                          cfg.use_epanechnikov)
+            # (Q, lam) of each sweep's frozen Gramian: mid-width buckets
+            # run one full-dim Woodbury block (block_sweep_frozen)
+            eig_u = woodbury.maybe_eigh(gram, cfg.dim, use_cg=False,
+                                        q_prev=eq_u,
+                                        refresh_tol=cfg.eig_refresh_tol)
             u = common.block_sweep_frozen(
                 u, v, dd.by_user, gram, self._spec_u(dual),
-                bs=cfg.block_size, dtype=self.asm_dtype)
+                bs=cfg.block_size, dtype=self.asm_dtype, eig=eig_u)
             # Raw-dual-weighted user Gramian: every V block's
             # G_loc_w/G_lg_w (safer2pp.h:532-544) is a slice of it.
             g_w = u.T @ (u * dual[:, None])
             norm_dual = jnp.where(
                 dd.user_hist_size > 0,
                 dual / jnp.maximum(dd.user_hist_size, 1.0), 0.0)
+            eig_v = woodbury.maybe_eigh(g_w, cfg.dim, use_cg=False,
+                                        q_prev=eq_v,
+                                        refresh_tol=cfg.eig_refresh_tol)
             v = common.block_sweep_frozen(
                 v, u, dd.by_item, g_w, self._spec_v(dd),
                 bs=cfg.block_size, dtype=self.asm_dtype,
-                extra_vec=norm_dual)
+                extra_vec=norm_dual, eig=eig_v)
+            if eig_u is not None:
+                eq_u, eq_v = eig_u[0], eig_v[0]
             gram = v.T @ v
             loss = common.user_losses(u, v, gram, dd.by_user,
                                       dd.num_users, cfg.uobs_weight,
@@ -103,7 +114,8 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
             sampling_ratio=cfg.sampling_ratio)
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
                              user_loss=loss, dual_weight=dual, xi=xi,
-                             key=key, steps=state.steps + 1)
+                             key=key, steps=state.steps + 1,
+                             eig_qu=eq_u, eig_qv=eq_v)
 
     def initialize(self, dd: DeviceData) -> None:
         """Initial losses + xi warm start (reference safer2pp.h:885-912;
@@ -134,7 +146,11 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         per bucket serves all 8 sweeps."""
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         ones = jnp.ones((fold.n_pad,), jnp.float32)
+        eig = woodbury.maybe_eigh(state.item_gramian, self.cfg.dim,
+                                  use_cg=False, q_prev=state.eig_qu,
+                                  refresh_tol=self.cfg.eig_refresh_tol)
         return common.block_sweep_frozen(
             ue, state.item_emb, fold.by_user, state.item_gramian,
             self._spec_u(ones), bs=self.cfg.block_size,
-            n_sweeps=self.cfg.eval_fold_in_epochs, dtype=self.asm_dtype)
+            n_sweeps=self.cfg.eval_fold_in_epochs, dtype=self.asm_dtype,
+            eig=eig)

@@ -221,6 +221,52 @@ def test_block_sweep_woodbury_matches_direct(monkeypatch):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_block_sweep_full_wood_is_exact():
+    # Mid-width buckets (block-Woodbury gate closed, full-dim Woodbury
+    # open: bs/2 < width <= dim/2) upgrade to ONE full-dim block when
+    # ``eig`` is passed — which must land exactly on the normal-equation
+    # solution: the full-dim delta solve collapses to x = A^-1 b (the
+    # same algebra test_ialspp_full_block_equals_ials proves for
+    # bs == dim), here routed through woodbury.solve_rhs. Compare
+    # against the proven single-full-block direct sweep.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from safer2_recommender_tpu import Dataset, DeviceData
+    from safer2_recommender_tpu.models import common
+
+    rng = np.random.default_rng(17)
+    # histories of 3..8 items: every user bucket has width 8 -> mid at
+    # bs=4 (narrow gate 2w <= 4 closed, full gate 2w <= 16 open)
+    us, its = [], []
+    for u in range(150):
+        hist = rng.choice(40, size=rng.integers(3, 9), replace=False)
+        us += [u] * len(hist)
+        its += list(hist)
+    ds = Dataset(np.asarray(us, np.int32), np.asarray(its, np.int32))
+    dd = DeviceData.build(ds)
+    assert all(2 * b.width <= 16 and 2 * b.width > 4 for b in dd.by_user)
+
+    m = get_model("safer2pp", Config(dim=16, block_size=4, seed=6),
+                  ds.num_users, ds.num_items)
+    dual = jnp.linspace(0.15, 0.95, ds.num_users)
+    gram = m.state.item_gramian
+    lam, q = jnp.linalg.eigh(gram)
+    args = (m.state.user_emb, m.state.item_emb, dd.by_user, gram,
+            m._spec_u(dual))
+
+    got = common.block_sweep_frozen(*args, bs=4,
+                                    eig=(q, jnp.maximum(lam, 0.0)))
+    want = common.block_sweep_frozen(*args, bs=16)  # bs == dim: exact
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    # 8 fold-in sweeps collapse to the same exact solve (sweeps_b = 1)
+    got8 = common.block_sweep_frozen(*args, bs=4, n_sweeps=8,
+                                     eig=(q, jnp.maximum(lam, 0.0)))
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_block_sweep_wide_path_matches_narrow(monkeypatch):
     # Zipf-head rows take the streamed full-system path
     # (assemble.wide_gram_resid: blocks solved from slices of one
