@@ -510,23 +510,30 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
     block from slices of it (``assemble.wide_gram_resid``).
 
     ``eig``, when given, is ``(Q, lam)`` of the FULL ``gram`` (from
-    ``woodbury.maybe_eigh``) and upgrades every MID-WIDTH bucket —
-    history wider than the block-Woodbury gate but still Woodbury-
-    eligible at full dim (bs/2 < width <= dim/2) — to ONE full-dim
-    block per sweep solved via full-dim Woodbury. Rationale (round-3
-    trace): those buckets' per-block bs x bs Cholesky kernels were 36%
-    of the ++ epoch at ~0.7 TF/s (VPU-bound), while ONE L x L
-    capacitance solve per row replaces all dim/bs of them; a full-dim
-    block is still block coordinate descent (the largest block), so the
-    fixed points and the model contract are unchanged — only the
-    per-sweep trajectory improves (a full solve is the limit the block
-    sweep iterates toward; cf. test_ialspp_full_block_equals_ials).
-    The reference has no such split because it has no Woodbury path at
-    all — its ++ blocks exist precisely to avoid d x d solves
-    (ialspp.h:85-145); ours avoids them better where history permits.
-    Narrow buckets (2*width <= bs) keep the bs-block sweeps: their
-    per-block rotations cost L*bs*d per row vs the full-dim rotation's
-    L*d^2 — the genuine ++ advantage. FRT_NO_FULL_WOOD=1 disables.
+    ``woodbury.maybe_eigh``) and upgrades every Woodbury-ELIGIBLE
+    bucket (2 * width <= dim) to ONE full-dim block per sweep solved
+    via full-dim Woodbury; only wider (long-history / streamed) rows
+    keep the bs-block sweeps. Rationale (round-3 traces, dim 512,
+    block 64, 50k-user workload): the per-block bs x bs Cholesky
+    kernels were 36% of the ++ epoch at ~0.7 TF/s (VPU-bound), while
+    ONE L x L capacitance solve per row replaces all dim/bs of them —
+    and the bs-block sweep's rotation savings (L*bs*d vs L*d^2 FLOPs
+    per row) turned out bandwidth-bound on the same slab bytes, so
+    they save no wall time on TPU. Measured ladder: uniform bs-blocks
+    313 ms -> mid-width upgraded 253 ms -> all eligible upgraded
+    214 ms (exact safer2: 201 ms). A full-dim block is still block
+    coordinate descent (the largest block), so fixed points and the
+    model contract are unchanged — only the per-sweep trajectory
+    improves (a full solve is the limit the block sweep iterates
+    toward; cf. test_ialspp_full_block_equals_ials), and the 8-sweep
+    eval fold-in collapses to one solve for those rows. The reference
+    has no such split because it has no Woodbury path at all — its ++
+    blocks exist precisely to avoid d x d solves (ialspp.h:85-145);
+    ours avoids them better where history permits, and keeps the ++
+    subspace structure where it genuinely wins: rows with L > dim/2,
+    whose blockwise solves cost (dim/bs) * bs^3 instead of the exact
+    path's dim^3. FRT_NO_FULL_WOOD=1 restores uniform bs-blocks
+    (block-Woodbury for narrow buckets).
     """
     if not buckets:
         return table_self
@@ -541,7 +548,12 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
     # of the sweep: 150 of 233 ms at dim 512, measured by trace) and
     # the per-row bs x bs Gramian einsum. Most rows qualify: history
     # lengths are power-law (ML-1M/MSD median well under 32).
-    wood = (dim % bs == 0 and bs >= 16
+    q_full = lam_full = None
+    if eig is not None and not os.environ.get("FRT_NO_FULL_WOOD"):
+        q_full, lam_full = eig
+
+    wood = (q_full is None  # full-dim Woodbury supersedes (see below)
+            and dim % bs == 0 and bs >= 16
             and not os.environ.get("FRT_NO_BLOCK_WOOD")
             and any(not assemble.is_wide(g, dim) and 2 * g.width <= bs
                     for g in buckets))
@@ -551,10 +563,6 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
             jnp.arange(nb), :, jnp.arange(nb), :]         # [nb, bs, bs]
         lam_all, q_all = jnp.linalg.eigh(diag)
         lam_all = jnp.maximum(lam_all, 0.0)
-
-    q_full = lam_full = None
-    if eig is not None and not os.environ.get("FRT_NO_FULL_WOOD"):
-        q_full, lam_full = eig
 
     def gather(b):
         if extra_vec is None:
@@ -582,8 +590,8 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
         xf = tbl[b.row_ids]
         pred = assemble.rowwise_dot(emb, xf)
         use_wood = wood and 2 * b.width <= bs   # static per bucket
-        # mid-width upgrade: ONE full-dim Woodbury block (see docstring)
-        full_wood = (q_full is not None and not use_wood
+        # Woodbury-eligible upgrade: ONE full-dim block (see docstring)
+        full_wood = (q_full is not None
                      and woodbury.applicable(b.width, dim))
         # a full-dim block solves its normal equations exactly: further
         # sweeps against the same frozen side are no-ops — run one

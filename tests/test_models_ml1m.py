@@ -266,6 +266,21 @@ def test_block_sweep_full_wood_is_exact():
     np.testing.assert_allclose(np.asarray(got8), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
 
+    # narrow buckets (2*width <= bs, block-Woodbury without eig) also
+    # upgrade to the full-dim solve when eig is given
+    m2 = get_model("safer2pp", Config(dim=32, block_size=16, seed=6),
+                   ds.num_users, ds.num_items)
+    gram2 = m2.state.item_gramian
+    lam2, q2 = jnp.linalg.eigh(gram2)
+    args2 = (m2.state.user_emb, m2.state.item_emb, dd.by_user, gram2,
+             m2._spec_u(dual))
+    assert all(2 * b.width <= 16 for b in dd.by_user)  # narrow at bs=16
+    got_n = common.block_sweep_frozen(*args2, bs=16,
+                                      eig=(q2, jnp.maximum(lam2, 0.0)))
+    want_n = common.block_sweep_frozen(*args2, bs=32)  # bs == dim: exact
+    np.testing.assert_allclose(np.asarray(got_n), np.asarray(want_n),
+                               rtol=2e-4, atol=2e-5)
+
 
 def test_block_sweep_wide_path_matches_narrow(monkeypatch):
     # Zipf-head rows take the streamed full-system path
