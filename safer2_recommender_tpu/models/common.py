@@ -587,15 +587,32 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
     def do_narrow(tbl, b):
         emb, mask, wt = gather(b)
         spec = spec_fn(b)
-        xf = tbl[b.row_ids]
-        pred = assemble.rowwise_dot(emb, xf)
-        use_wood = wood and 2 * b.width <= bs   # static per bucket
         # Woodbury-eligible upgrade: ONE full-dim block (see docstring)
         full_wood = (q_full is not None
                      and woodbury.applicable(b.width, dim))
-        # a full-dim block solves its normal equations exactly: further
-        # sweeps against the same frozen side are no-ops — run one
-        bs_b, sweeps_b = (dim, 1) if full_wood else (bs, n_sweeps)
+        wt_eff = mask if wt is None else wt
+        if spec.ch is not None:
+            wt_eff = wt_eff * spec.ch[:, None]
+
+        if full_wood:
+            # The full-dim delta solve collapses algebraically to the
+            # direct normal-equation solve (rhs = A x - b, so
+            # x - A^-1 rhs = A^-1 b): solve it directly and skip the
+            # prediction pass, the residual weighting, and the
+            # G @ x / reg * x pull-back terms entirely. One such sweep
+            # is exact; further sweeps against the same frozen side
+            # would be no-ops.
+            rhs = assemble.row_sums(emb, col_weight=(
+                mask if wt is None else wt))
+            if spec.ch is not None:
+                rhs = rhs * spec.ch[:, None]
+            xf = woodbury.solve_rhs(emb, wt_eff, spec.reg, spec.cg,
+                                    rhs, q_full, lam_full)
+            return assemble.scatter_rows(tbl, b.row_ids, xf)
+
+        xf = tbl[b.row_ids]
+        pred = assemble.rowwise_dot(emb, xf)
+        use_wood = wood and 2 * b.width <= bs   # static per bucket
 
         def blk(carry, s, bsz):
             xf, pred = carry
@@ -609,18 +626,12 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
                 rhs = rhs * spec.ch[:, None]
             rhs = (rhs + spec.cg[:, None] * (xf @ g_lg.T)
                    + spec.reg[:, None] * x_loc)
-            if use_wood or full_wood:
-                wt_eff = mask if wt is None else wt
-                if spec.ch is not None:
-                    wt_eff = wt_eff * spec.ch[:, None]
-                if full_wood:
-                    q_k, lam_k = q_full, lam_full
-                else:
-                    k_i = s // bs
-                    q_k = jax.lax.dynamic_index_in_dim(q_all, k_i, 0,
-                                                       keepdims=False)
-                    lam_k = jax.lax.dynamic_index_in_dim(lam_all, k_i, 0,
-                                                         keepdims=False)
+            if use_wood:
+                k_i = s // bs
+                q_k = jax.lax.dynamic_index_in_dim(q_all, k_i, 0,
+                                                   keepdims=False)
+                lam_k = jax.lax.dynamic_index_in_dim(lam_all, k_i, 0,
+                                                     keepdims=False)
                 delta = -woodbury.solve_rhs(emb_loc, wt_eff, spec.reg,
                                             spec.cg, rhs, q_k, lam_k)
             else:
@@ -630,14 +641,12 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
                     a = a * spec.ch[:, None, None]
                 a = a + spec.cg[:, None, None] * g_loc[None]
                 delta = -solve.cholesky_solve(a, rhs, spec.reg)
-            if not (full_wood and sweeps_b == 1):
-                # single-full-block sweeps never reread pred
-                pred = pred + jnp.sum(emb_loc * delta[:, None, :], axis=2)
+            pred = pred + jnp.sum(emb_loc * delta[:, None, :], axis=2)
             xf = jax.lax.dynamic_update_slice_in_dim(xf, x_loc + delta,
                                                      s, axis=1)
             return xf, pred
 
-        xf, _ = run_blocks((xf, pred), blk, bs_b, sweeps_b)
+        xf, _ = run_blocks((xf, pred), blk)
         return assemble.scatter_rows(tbl, b.row_ids, xf)
 
     def do_wide(tbl, b):
