@@ -474,7 +474,7 @@ class BlockSpec:
 
 def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
                        *, bs: int, n_sweeps: int = 1, dtype=None,
-                       extra_vec=None, eig=None):
+                       extra_vec=None, eig=None, pre_list=None):
     """Blockwise coordinate sweep(s) of one side against the FROZEN
     other side — the ++ models' hot loop.
 
@@ -584,8 +584,11 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
                 carry = blk(carry, s, min(s + bs_b, dim) - s)
         return carry
 
-    def do_narrow(tbl, b):
-        emb, mask, wt = gather(b)
+    def do_narrow(tbl, b, pre=None):
+        if pre is not None:
+            emb, mask, wt = pre[0], pre[1], None
+        else:
+            emb, mask, wt = gather(b)
         spec = spec_fn(b)
         # Woodbury-eligible upgrade: ONE full-dim block (see docstring)
         full_wood = (q_full is not None
@@ -680,19 +683,23 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
         xf = run_blocks(xf0, blk)
         return assemble.scatter_rows(tbl, b.row_ids, xf)
 
-    def do_bucket(tbl, b):
+    def do_bucket(tbl, b, pre=None):
         # Tie the slab gather to the carried table: the gather reads
         # only the frozen other side, so without the token nothing
         # orders one bucket's [N, L, d] slab after the previous
         # bucket's solve and XLA schedules them all live at once (the
-        # OOM class solve_sweep's tokens prevent).
-        b = tie_bucket(b, tbl)
+        # OOM class solve_sweep's tokens prevent). Pre-gathered slabs
+        # (the fused loss pass's, ``gather_and_losses``) skip both the
+        # gather and the token.
+        if pre is None:
+            b = tie_bucket(b, tbl)
         if assemble.is_wide(b, dim):
             return do_wide(tbl, b)
-        return do_narrow(tbl, b)
+        return do_narrow(tbl, b, pre)
 
-    return sweep_apply(buckets, None, table_self,
-                       lambda tbl, b, _pre: do_bucket(tbl, b))
+    assert pre_list is None or extra_vec is None, \
+        "pre-gathered slabs carry no extra_vec column"
+    return sweep_apply(buckets, pre_list, table_self, do_bucket)
 
 
 # --------------------------------------------------------------------------

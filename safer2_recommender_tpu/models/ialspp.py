@@ -35,6 +35,7 @@ from safer2_recommender_tpu.ops import woodbury
 class IALSpp(Recommender):
     name = "ialspp"
     _stats_order = "post"
+    _loss_lags_one_epoch = True
 
     def _reg_vectors(self, dd: DeviceData):
         cfg = self.cfg
@@ -59,8 +60,16 @@ class IALSpp(Recommender):
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         cfg = self.cfg
-        # (Q, lam) of each sweep's frozen Gramian upgrades mid-width
-        # buckets to one full-dim Woodbury block (block_sweep_frozen
+        # The reference's end-of-epoch ComputeUserLoss (stats-only) is
+        # shifted to the top of the next epoch so it shares the user
+        # sweep's slab gathers (same move as IALS._epoch); the stored
+        # user_loss describes the carried (pre-epoch) model.
+        loss, pre = common.gather_and_losses(
+            state.item_emb, dd.by_user, state.user_emb,
+            state.item_gramian, dd.num_users, cfg.uobs_weight,
+            halve=False, dtype=self.asm_dtype)
+        # (Q, lam) of each sweep's frozen Gramian upgrades Woodbury-
+        # eligible buckets to one full-dim block (block_sweep_frozen
         # docstring); warm-started from the previous epoch's basis.
         eig_u = woodbury.maybe_eigh(state.item_gramian, cfg.dim,
                                     use_cg=False, q_prev=state.eig_qu,
@@ -68,7 +77,8 @@ class IALSpp(Recommender):
         u = common.block_sweep_frozen(
             state.user_emb, state.item_emb, dd.by_user,
             state.item_gramian, self._spec_fn(dd.num_items),
-            bs=cfg.block_size, dtype=self.asm_dtype, eig=eig_u)
+            bs=cfg.block_size, dtype=self.asm_dtype, eig=eig_u,
+            pre_list=pre)
         gram_u = u.T @ u
         eig_v = woodbury.maybe_eigh(gram_u, cfg.dim, use_cg=False,
                                     q_prev=state.eig_qv,
@@ -78,9 +88,6 @@ class IALSpp(Recommender):
             self._spec_fn(dd.num_users), bs=cfg.block_size,
             dtype=self.asm_dtype, eig=eig_v)
         gram = v.T @ v
-        loss = common.user_losses(u, v, gram, dd.by_user, dd.num_users,
-                                  cfg.uobs_weight, halve=False,
-                                  dtype=self.asm_dtype)
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
                              user_loss=loss, steps=state.steps + 1,
                              eig_qu=eig_u[0] if eig_u else state.eig_qu,

@@ -37,6 +37,7 @@ from safer2_recommender_tpu.ops import quantile, smoothing, woodbury
 
 class SAFER2pp(SaferFamilyMixin, Recommender):
     name = "safer2pp"
+    _loss_lags_one_epoch = True
 
     def _log_epoch_lines(self) -> None:
         # reference safer2pp.h:325-326, :353
@@ -69,24 +70,58 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         return spec_fn
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
+        """One Train call, phase-shifted exactly like SAFER2._epoch.
+
+        Reference epoch = predict; pd x {z, U blocks, V blocks, gram,
+        loss}; xi (safer2pp.h:288-355) with Initialize pre-computing
+        loss and xi(warm=mean) (safer2pp.h:885-912). Nothing mutates
+        (u, v) between one epoch's trailing {gram, loss, xi} and the
+        next epoch's leading z, so the identical update sequence runs
+        as pd x {loss, [xi at t=0], z, U, V, gram} — and the loss pass
+        then shares its [N, L, d] slab gathers with the U sweep
+        (gather_and_losses -> pre_list), removing a full per-epoch
+        gather pass over every user history."""
         cfg = self.cfg
         u, v = state.user_emb, state.item_emb
         loss, dual = state.user_loss, state.dual_weight
         gram = state.item_gramian
+        xi, key = state.xi, state.key
         eq_u, eq_v = state.eig_qu, state.eig_qv
-        for _ in range(cfg.pd_iterations):
+
+        def xi_step(loss, warm, key):
+            key, sub = jax.random.split(key)
+            return quantile.compute_xi(
+                loss, warm, sub, nr_iterations=cfg.xi_iterations,
+                bandwidth=cfg.bandwidth, alpha=cfg.alpha,
+                use_epanechnikov=cfg.use_epanechnikov,
+                use_snr=cfg.use_snr,
+                sampling_ratio=cfg.sampling_ratio), key
+
+        if cfg.pd_iterations == 0:
+            # trailing ComputeXi still runs on the carried loss
+            # (safer2pp.h:352-354); phase-shifted = leading xi alone
+            warm = jnp.where(state.steps == 0, jnp.mean(loss), xi)
+            xi, key = xi_step(loss, warm, key)
+        for t in range(cfg.pd_iterations):
+            loss, pre = common.gather_and_losses(
+                v, dd.by_user, u, gram, dd.num_users, cfg.uobs_weight,
+                halve=True, dtype=self.asm_dtype)
+            if t == 0:
+                warm = jnp.where(state.steps == 0, jnp.mean(loss), xi)
+                xi, key = xi_step(loss, warm, key)
             # Vectorized z-step over the full dual vector
             # (safer2pp.h:839-862).
-            dual = smoothing.dual_weight(loss, state.xi, cfg.bandwidth,
+            dual = smoothing.dual_weight(loss, xi, cfg.bandwidth,
                                          cfg.use_epanechnikov)
-            # (Q, lam) of each sweep's frozen Gramian: mid-width buckets
-            # run one full-dim Woodbury block (block_sweep_frozen)
+            # (Q, lam) of each sweep's frozen Gramian: Woodbury-eligible
+            # buckets run one full-dim block (block_sweep_frozen)
             eig_u = woodbury.maybe_eigh(gram, cfg.dim, use_cg=False,
                                         q_prev=eq_u,
                                         refresh_tol=cfg.eig_refresh_tol)
             u = common.block_sweep_frozen(
                 u, v, dd.by_user, gram, self._spec_u(dual),
-                bs=cfg.block_size, dtype=self.asm_dtype, eig=eig_u)
+                bs=cfg.block_size, dtype=self.asm_dtype, eig=eig_u,
+                pre_list=pre)
             # Raw-dual-weighted user Gramian: every V block's
             # G_loc_w/G_lg_w (safer2pp.h:532-544) is a slice of it.
             g_w = u.T @ (u * dual[:, None])
@@ -103,39 +138,24 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
             if eig_u is not None:
                 eq_u, eq_v = eig_u[0], eig_v[0]
             gram = v.T @ v
-            loss = common.user_losses(u, v, gram, dd.by_user,
-                                      dd.num_users, cfg.uobs_weight,
-                                      halve=True, dtype=self.asm_dtype)
-        key, sub = jax.random.split(state.key)
-        xi = quantile.compute_xi(
-            loss, state.xi, sub, nr_iterations=cfg.xi_iterations,
-            bandwidth=cfg.bandwidth, alpha=cfg.alpha,
-            use_epanechnikov=cfg.use_epanechnikov, use_snr=cfg.use_snr,
-            sampling_ratio=cfg.sampling_ratio)
         return state.replace(user_emb=u, item_emb=v, item_gramian=gram,
                              user_loss=loss, dual_weight=dual, xi=xi,
                              key=key, steps=state.steps + 1,
                              eig_qu=eq_u, eig_qv=eq_v)
 
     def initialize(self, dd: DeviceData) -> None:
-        """Initial losses + xi warm start (reference safer2pp.h:885-912;
-        the reference's cache priming is folded away — predictions are
-        recomputed wherever needed)."""
+        """Reference safer2pp.h:885-912. The loss/xi warm start now runs
+        at the top of the first epoch (see ``_epoch``); here we only
+        compute the loss so the pre-training state is inspectable. The
+        reference's cache priming is folded away — predictions are
+        recomputed wherever needed."""
         @jax.jit
         def _init(state: MFState, dd_: DeviceData):
             loss = common.user_losses(
                 state.user_emb, state.item_emb, state.item_gramian,
                 dd_.by_user, dd_.num_users, self.cfg.uobs_weight,
                 halve=True, dtype=self.asm_dtype)
-            key, sub = jax.random.split(state.key)
-            xi = quantile.compute_xi(
-                loss, jnp.mean(loss), sub,
-                nr_iterations=self.cfg.xi_iterations,
-                bandwidth=self.cfg.bandwidth, alpha=self.cfg.alpha,
-                use_epanechnikov=self.cfg.use_epanechnikov,
-                use_snr=self.cfg.use_snr,
-                sampling_ratio=self.cfg.sampling_ratio)
-            return state.replace(user_loss=loss, xi=xi, key=key)
+            return state.replace(user_loss=loss, steps=jnp.int32(0))
 
         # dd as argument (multi-process meshes forbid array closures)
         self.state = _init(self.state, dd)
