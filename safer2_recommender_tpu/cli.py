@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eig_refresh_tol", type=float, default=8e-2,
                    help="warm-started Woodbury eigh refresh tolerance "
                         "(0 = always full eigh)")
+    p.add_argument("--block_interleaved", type=int, default=0,
+                   help="++ models: reference-order per-block U/V "
+                        "interleaving with live Gramians "
+                        "(ialspp.h:208-261, safer2pp.h:303-319) instead "
+                        "of the faster phase-separated frozen sweep; "
+                        "needs dim %% block_size == 0")
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--profile_dir", default=None,
@@ -187,6 +193,7 @@ def main(argv=None) -> int:
         cg_max_iterations=args.cg_max_iterations,
         eig_refresh_tol=args.eig_refresh_tol,
         compute_dtype=args.compute_dtype,
+        block_interleaved=bool(args.block_interleaved),
         epochs=args.epoch, seed=args.seed,
     )
 

@@ -80,6 +80,16 @@ class Config:
     # 0.3287 at 3e-2 / 0.3291 with exact eigh, 10-epoch dim-512 ML-1M
     # head-to-head). 0 disables (always full eigh).
     eig_refresh_tol: float = 8e-2
+    # Reference-ORDER blockwise training for the ++ models: per block,
+    # StepU then StepV (ialspp.h:208-261, safer2pp.h:303-319), with
+    # live per-block Gramians and cross-view prediction carries
+    # (models/common.py::block_sweep_interleaved). Default off: the
+    # phase-separated frozen sweep is faster on TPU and converges with
+    # the exact solvers; this mode reproduces the reference's exact
+    # update trajectory where that difference matters (BASELINE.md
+    # round-3 head-to-head analysis). Requires dim % block_size == 0
+    # (falls back to the frozen sweep otherwise).
+    block_interleaved: bool = False
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -703,6 +703,200 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
 
 
 # --------------------------------------------------------------------------
+# Interleaved (reference-order) blockwise sweep
+# --------------------------------------------------------------------------
+
+
+def block_sweep_interleaved(u, v, by_user, by_item, spec_u_fn, spec_v_fn,
+                            *, bs: int, dtype=None, extra_vec_v=None,
+                            g_weight_v=None):
+    """Reference-ORDER blockwise epoch: per block s, StepU(s) then
+    StepV(s) (ialspp.h:208-261, safer2pp.h:303-319) — the trajectory
+    ``block_sweep_frozen`` deliberately reorders for speed.
+
+    Fidelity mode (``Config.block_interleaved``): each U block sees the
+    SAME pd iteration's previous V blocks (and vice versa), and the
+    local/local-global Gramians are recomputed per block from the LIVE
+    other table (ialspp.h:362-365, safer2pp.h:532-544) instead of
+    sliced from a frozen one. The reference's flat per-tuple prediction
+    cache (ialspp.h:399-406) becomes per-slot prediction arrays carried
+    in BOTH adjacency views; a block's embedding deltas cross views as
+    a [num_rows, bs] delta table that the other view row-gathers — no
+    per-element scatters (docs/PERFORMANCE.md on why those are ruled
+    out).
+
+    ``spec_*_fn(bucket) -> BlockSpec`` as in ``block_sweep_frozen``;
+    ``extra_vec_v`` routes the item sweep's per-slot z/|H_u| weights;
+    ``g_weight_v`` (e.g. the dual vector) weights the V-step's
+    user-side Gramian slices (U^T diag(z) U, safer2pp.h:532-544).
+
+    Returns ``(u, v, preds_u)`` with ``preds_u`` aligned to
+    ``group_same_shape(by_user)`` — end-of-epoch per-slot predictions,
+    the analog of the reference's cache that its ComputeUserLoss reads
+    (safer2pp.h:611-652); feed to ``losses_from_preds``. Requires
+    ``dim % bs == 0`` (callers fall back to the frozen sweep otherwise).
+    """
+    dim = u.shape[1]
+    assert dim % bs == 0, "interleaved sweep requires dim % bs == 0"
+    gu = group_same_shape(by_user)
+    gi = group_same_shape(by_item)
+    offs = jnp.arange(0, dim, bs)
+
+    def cast(x):
+        return x if dtype is None else x.astype(dtype)
+
+    def _pred_bucket(b, tbl_self, other):
+        """Fresh per-slot predictions, accumulated block-by-block so no
+        [N, L, dim] slab ever materializes (zipf-head safe)."""
+        x_full = tbl_self[b.row_ids]
+
+        def step(pred, s):
+            o_blk = cast(jax.lax.dynamic_slice(
+                other, (0, s), (other.shape[0], bs)))
+            emb, _ = assemble.gather_history(o_blk, b, None)
+            x_loc = jax.lax.dynamic_slice(x_full, (0, s), (b.n_rows, bs))
+            return pred + jnp.sum(emb * x_loc[:, None, :], axis=2), None
+
+        pred0 = jnp.zeros((b.n_rows, b.width), jnp.float32)
+        return jax.lax.scan(step, pred0, offs)[0]
+
+    def init_preds(groups, tbl_self, other):
+        preds = []
+        for g in groups:
+            if isinstance(g, Bucket):
+                preds.append(_pred_bucket(g, tbl_self, other))
+            else:
+                preds.append(jax.lax.map(
+                    lambda bk: _pred_bucket(bk, tbl_self, other), g.stack))
+        return tuple(preds)
+
+    def side_step(tbl_self, other, s, groups, preds, spec_fn, extra,
+                  g_weight):
+        """StepU/StepV at block offset ``s`` (ialspp.h:85-145,
+        safer2pp.h:97-216): delta solves against live local Gramians.
+        Returns (tbl_self', preds', delta_table [rows, bs])."""
+        o_blk = jax.lax.dynamic_slice(other, (0, s), (other.shape[0], bs))
+        lhs = o_blk if g_weight is None else o_blk * g_weight[:, None]
+        g_lg = lhs.T @ other                       # [bs, dim] live
+        g_loc = jax.lax.dynamic_slice(g_lg, (0, s), (bs, bs))
+        o_blk_c = cast(o_blk)
+        dacc = jnp.zeros((tbl_self.shape[0], bs), jnp.float32)
+
+        def do_b(tbl_self, dacc, b, pred):
+            if extra is None:
+                emb, mask = assemble.gather_history(o_blk_c, b, None)
+                wt = None
+            else:
+                emb, mask, wt = assemble.gather_history_extra(
+                    o_blk_c, extra, b, None)
+            spec = spec_fn(b)
+            x_full = tbl_self[b.row_ids]
+            x_loc = jax.lax.dynamic_slice(x_full, (0, s), (b.n_rows, bs))
+            resid = pred - mask
+            rhs = assemble.row_sums(
+                emb, col_weight=resid if wt is None else wt * resid)
+            if spec.ch is not None:
+                rhs = rhs * spec.ch[:, None]
+            rhs = (rhs + spec.cg[:, None] * (x_full @ g_lg.T)
+                   + spec.reg[:, None] * x_loc)
+            a = assemble.row_gramians(emb, col_weight=wt)
+            if spec.ch is not None:
+                a = a * spec.ch[:, None, None]
+            a = a + spec.cg[:, None, None] * g_loc[None]
+            delta = -solve.cholesky_solve(a, rhs, spec.reg)
+            pred = pred + jnp.sum(emb * delta[:, None, :], axis=2)
+            x_new = jax.lax.dynamic_update_slice(x_full, x_loc + delta,
+                                                 (0, s))
+            tbl_self = assemble.scatter_rows(tbl_self, b.row_ids, x_new)
+            dacc = dacc.at[b.row_ids].set(delta, mode="drop")
+            return tbl_self, dacc, pred
+
+        new_preds = []
+        for g, pred in zip(groups, preds):
+            if isinstance(g, Bucket):
+                tbl_self, dacc, p = do_b(tbl_self, dacc,
+                                         tie_bucket(g, tbl_self), pred)
+                new_preds.append(p)
+            else:
+                def body(c, xs):
+                    t, d_ = c
+                    bk, pk = xs
+                    t, d_, pk = do_b(t, d_, tie_bucket(bk, t), pk)
+                    return (t, d_), pk
+                (tbl_self, dacc), pstk = jax.lax.scan(
+                    body, (tbl_self, dacc), (g.stack, pred))
+                new_preds.append(pstk)
+        return tbl_self, tuple(new_preds), dacc
+
+    def propagate(groups, preds, dacc, tbl_self, s):
+        """Fold the other side's block deltas into this view's
+        predictions: pred[n,l] += dacc[col_ids[n,l]] . x[row, s:s+bs] —
+        the cross-view half of the reference's cache update
+        (ialspp.h:399-406); f32 throughout (increments compound)."""
+        x_blk = jax.lax.dynamic_slice(tbl_self, (0, s),
+                                      (tbl_self.shape[0], bs))
+
+        def do_p(b, pred):
+            dg, _ = assemble.gather_history(dacc, b, None)
+            return pred + jnp.sum(dg * x_blk[b.row_ids][:, None, :],
+                                  axis=2)
+
+        new_preds = []
+        for g, pred in zip(groups, preds):
+            if isinstance(g, Bucket):
+                new_preds.append(do_p(g, pred))
+            else:
+                new_preds.append(jax.lax.scan(
+                    lambda _, xs: (0, do_p(xs[0], xs[1])),
+                    0, (g.stack, pred))[1])
+        return tuple(new_preds)
+
+    preds_u = init_preds(gu, u, v)
+    preds_i = init_preds(gi, v, u)
+
+    def block_step(carry, s):
+        u, v, pu, pi = carry
+        u, pu, du = side_step(u, v, s, gu, pu, spec_u_fn, None, None)
+        pi = propagate(gi, pi, du, v, s)
+        v, pi, dv = side_step(v, u, s, gi, pi, spec_v_fn, extra_vec_v,
+                              g_weight_v)
+        pu = propagate(gu, pu, dv, u, s)
+        return (u, v, pu, pi), None
+
+    (u, v, preds_u, preds_i), _ = jax.lax.scan(
+        block_step, (u, v, preds_u, preds_i), offs)
+    return u, v, preds_u
+
+
+def losses_from_preds(preds_u, by_user, u, gram, num_users: int,
+                      uobs: float, *, mean: bool, halve: bool) -> jax.Array:
+    """Per-user losses from carried per-slot predictions — the analog of
+    the reference's cache-based ComputeUserLoss (safer2pp.h:611-652,
+    ialspp.h: ComputeUserLoss): obs = sum_h (pred-1)^2 [/|H| if mean]
+    + uobs * u^T G u [x0.5 if halve]."""
+    out = jnp.zeros((num_users,), jnp.float32)
+
+    def lb(b, p):
+        mask = assemble.history_mask(b)
+        obs = jnp.sum(jnp.square(p - mask) * mask, axis=1)
+        if mean:
+            obs = obs / safe_len(b)
+        x = u[b.row_ids]
+        loss = obs + uobs * jnp.einsum("nd,de,ne->n", x, gram, x)
+        return loss * 0.5 if halve else loss
+
+    for g, pred in zip(group_same_shape(by_user), preds_u):
+        if isinstance(g, Bucket):
+            out = assemble.scatter_vector(out, g.row_ids, lb(g, pred))
+        else:
+            out = jax.lax.scan(
+                lambda o, xs: (assemble.scatter_vector(
+                    o, xs[0].row_ids, lb(xs[0], xs[1])), None),
+                out, (g.stack, pred))[0]
+    return out
+
+
+# --------------------------------------------------------------------------
 # Losses / predictions
 # --------------------------------------------------------------------------
 

@@ -60,6 +60,22 @@ class IALSpp(Recommender):
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         cfg = self.cfg
+        if cfg.block_interleaved and cfg.dim % cfg.block_size == 0:
+            # Reference-order mode (ialspp.h:208-261): per block,
+            # Step(user) then Step(item); loss from the carried
+            # prediction slots like the reference's cache-based
+            # ComputeUserLoss.
+            u, v, preds_u = common.block_sweep_interleaved(
+                state.user_emb, state.item_emb, dd.by_user, dd.by_item,
+                self._spec_fn(dd.num_items), self._spec_fn(dd.num_users),
+                bs=cfg.block_size, dtype=self.asm_dtype)
+            gram = v.T @ v
+            loss = common.losses_from_preds(
+                preds_u, dd.by_user, u, gram, dd.num_users,
+                cfg.uobs_weight, mean=False, halve=False)
+            return state.replace(user_emb=u, item_emb=v,
+                                 item_gramian=gram, user_loss=loss,
+                                 steps=state.steps + 1)
         # The reference's end-of-epoch ComputeUserLoss (stats-only) is
         # shifted to the top of the next epoch so it shares the user
         # sweep's slab gathers (same move as IALS._epoch); the stored

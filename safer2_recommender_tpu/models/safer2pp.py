@@ -102,6 +102,35 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
             # (safer2pp.h:352-354); phase-shifted = leading xi alone
             warm = jnp.where(state.steps == 0, jnp.mean(loss), xi)
             xi, key = xi_step(loss, warm, key)
+        if cfg.block_interleaved and cfg.dim % cfg.block_size == 0:
+            # Reference-order mode (safer2pp.h:303-319): per block,
+            # StepU then StepV against LIVE Gramians; the carried
+            # prediction slots (= the reference's cache) supply both
+            # the residual rhs and the end-of-iteration loss, so no
+            # fresh loss gather pass exists in this mode.
+            for t in range(cfg.pd_iterations):
+                if t == 0:
+                    warm = jnp.where(state.steps == 0, jnp.mean(loss), xi)
+                    xi, key = xi_step(loss, warm, key)
+                dual = smoothing.dual_weight(loss, xi, cfg.bandwidth,
+                                             cfg.use_epanechnikov)
+                norm_dual = jnp.where(
+                    dd.user_hist_size > 0,
+                    dual / jnp.maximum(dd.user_hist_size, 1.0), 0.0)
+                u, v, preds_u = common.block_sweep_interleaved(
+                    u, v, dd.by_user, dd.by_item,
+                    self._spec_u(dual), self._spec_v(dd),
+                    bs=cfg.block_size, dtype=self.asm_dtype,
+                    extra_vec_v=norm_dual, g_weight_v=dual)
+                gram = v.T @ v
+                loss = common.losses_from_preds(
+                    preds_u, dd.by_user, u, gram, dd.num_users,
+                    cfg.uobs_weight, mean=True, halve=True)
+            return state.replace(user_emb=u, item_emb=v,
+                                 item_gramian=gram, user_loss=loss,
+                                 dual_weight=dual, xi=xi, key=key,
+                                 steps=state.steps + 1,
+                                 eig_qu=eq_u, eig_qv=eq_v)
         for t in range(cfg.pd_iterations):
             loss, pre = common.gather_and_losses(
                 v, dd.by_user, u, gram, dd.num_users, cfg.uobs_weight,

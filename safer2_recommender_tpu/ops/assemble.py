@@ -261,10 +261,22 @@ def row_gramians(emb: jax.Array, col_weight: Optional[jax.Array] = None,
 
 def row_sums(emb: jax.Array, col_weight: Optional[jax.Array] = None,
              out_dtype=jnp.float32) -> jax.Array:
-    """Batched rhs accumulation: [N, L, d] -> [N, d] (f32 accumulation)."""
+    """Batched rhs accumulation: [N, L, d] -> [N, d] (f32 accumulation).
+
+    Contracts L against a ones vector (one non-batched dot_general)
+    instead of ``jnp.sum(lhs.astype(f32))``: the astype materialized a
+    second, twice-as-wide copy of the slab that the reduce then re-read
+    — ~26 GB/epoch of pure dtype traffic on the dim-512 north-star
+    trace (the ``bf16 convert`` + half the ``reduce_sum`` roofline
+    classes, docs/PERFORMANCE.md). The dot reads the bf16 slab once and
+    accumulates in f32 on the MXU.
+    """
     lhs = emb if col_weight is None else (
         emb * col_weight[..., None].astype(emb.dtype))
-    return jnp.sum(lhs.astype(out_dtype), axis=1)
+    ones = jnp.ones((emb.shape[1],), lhs.dtype)
+    return jax.lax.dot_general(
+        lhs, ones, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=out_dtype)
 
 
 def rowwise_dot(emb: jax.Array, vec: jax.Array) -> jax.Array:

@@ -149,6 +149,68 @@ def test_ialspp_full_block_equals_ials():
                                atol=5e-5)
 
 
+def test_interleaved_full_block_equals_ials():
+    # Reference-order mode, single block (block_size == dim): the
+    # interleaved delta solve collapses to the exact solve exactly like
+    # the frozen sweep's (rhs = A x - b), and the per-slot prediction
+    # init must supply the correct residuals — so one interleaved
+    # iALS++ epoch must reproduce one iALS epoch to float tolerance
+    # (reference ialspp.h:208-261 vs ials.h:187-224).
+    import numpy as np
+
+    from safer2_recommender_tpu import Dataset, DeviceData
+
+    rng = np.random.default_rng(11)
+    pairs = np.unique(np.stack([rng.integers(0, 200, 5000),
+                                rng.integers(0, 90, 5000)], 1),
+                      axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    dd = DeviceData.build(ds)
+
+    embs = []
+    for name, inter in (("ials", False), ("ialspp", True)):
+        m = get_model(name, Config(dim=16, block_size=16, seed=9,
+                                   block_interleaved=inter),
+                      ds.num_users, ds.num_items)
+        m.train_epoch(dd)
+        embs.append((np.asarray(m.state.user_emb),
+                     np.asarray(m.state.item_emb)))
+    np.testing.assert_allclose(embs[0][0], embs[1][0], rtol=5e-4,
+                               atol=5e-5)
+    np.testing.assert_allclose(embs[0][1], embs[1][1], rtol=5e-4,
+                               atol=5e-5)
+
+
+def test_interleaved_carried_loss_matches_fresh():
+    # Multi-block interleaved epochs carry per-slot predictions across
+    # 2 x dim/block_size block steps and two adjacency views (the
+    # reference's cache, ialspp.h:399-406); at epoch end they must
+    # equal fresh recomputation from the live tables to fp tolerance —
+    # an exact end-to-end check of the cross-view delta propagation.
+    import numpy as np
+
+    from safer2_recommender_tpu import Dataset, DeviceData
+    from safer2_recommender_tpu.models import common
+
+    rng = np.random.default_rng(5)
+    pairs = np.unique(np.stack([rng.integers(0, 180, 6000),
+                                rng.integers(0, 80, 6000)], 1),
+                      axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    dd = DeviceData.build(ds)
+    cfg = Config(dim=16, block_size=4, block_interleaved=True, seed=3,
+                 compute_dtype="f32", uobs_weight=0.02, l2_reg=0.004,
+                 alpha=0.3, bandwidth=0.15, xi_iterations=2)
+    m = get_model("safer2pp", cfg, ds.num_users, ds.num_items)
+    m.initialize(dd)
+    m.train_epochs(dd, 2)
+    fresh = common.user_losses(
+        m.state.user_emb, m.state.item_emb, m.state.item_gramian,
+        dd.by_user, ds.num_users, cfg.uobs_weight, halve=True)
+    np.testing.assert_allclose(np.asarray(m.state.user_loss),
+                               np.asarray(fresh), rtol=2e-4, atol=2e-5)
+
+
 def test_repeated_sweeps_scan_equals_sequential():
     # block_sweep_frozen(n_sweeps=8) runs epochs x blocks as ONE scan
     # reusing one slab gather and carrying the incremental predictions
