@@ -23,6 +23,8 @@ gather across all 8 sweeps.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -112,11 +114,22 @@ class IALSpp(Recommender):
     def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
         """8 blockwise fold-in epochs (reference ialspp.h:149-206); the
         item table is frozen throughout, so ONE slab gather per bucket
-        serves all 8 x dim/block_size block solves."""
+        serves all 8 x dim/block_size block solves.
+
+        The fold-in trajectory follows the training mode — genuinely
+        blockwise under cfg.block_interleaved, collapsed to one exact
+        solve (full-dim Woodbury) in the default fast mode — see
+        SAFER2pp._fold_in's docstring for the measured rationale;
+        FRT_FOLDIN_EXACT / FRT_FOLDIN_BLOCKWISE override for A/Bs."""
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
-        eig = woodbury.maybe_eigh(state.item_gramian, self.cfg.dim,
-                                  use_cg=False, q_prev=state.eig_qu,
-                                  refresh_tol=self.cfg.eig_refresh_tol)
+        blockwise = ((self.cfg.block_interleaved
+                      or os.environ.get("FRT_FOLDIN_BLOCKWISE"))
+                     and not os.environ.get("FRT_FOLDIN_EXACT"))
+        eig = None
+        if not blockwise:
+            eig = woodbury.maybe_eigh(state.item_gramian, self.cfg.dim,
+                                      use_cg=False, q_prev=state.eig_qu,
+                                      refresh_tol=self.cfg.eig_refresh_tol)
         return common.block_sweep_frozen(
             ue, state.item_emb, fold.by_user, state.item_gramian,
             self._spec_fn(self.num_items), bs=self.cfg.block_size,

@@ -25,6 +25,8 @@ from the live tables (same values, no cache drift).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -192,12 +194,32 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
     def _fold_in(self, state: MFState, fold: FoldInData) -> jax.Array:
         """8 blockwise fold-in epochs with weight 1 (reference
         safer2pp.h:220-286); the frozen item table means one slab gather
-        per bucket serves all 8 sweeps."""
+        per bucket serves all 8 sweeps.
+
+        The fold-in trajectory FOLLOWS the training mode
+        (cfg.block_interleaved). In reference-order mode the sweeps
+        stay genuinely blockwise (eig=None): the reference's eval
+        contract is 8 INCOMPLETE block sweeps from zero init, whose
+        non-convergence regularizes the held-out users — with
+        interleaved-trained tables that lands within reference reseed
+        noise on the under-regularized dim-512 config (0.2764 vs ref
+        0.2790 NDCG@20). In the default fast mode the sweeps collapse
+        to one exact solve via full-dim Woodbury, CONSISTENT with the
+        training trajectory (++ == exact solver); mixing fast training
+        with blockwise fold-in measured WORST of all combinations
+        (0.2393 — BASELINE.md round-3 fold-in A/B, 2026-08-20), so the
+        two must switch together. FRT_FOLDIN_EXACT / FRT_FOLDIN_BLOCKWISE
+        override for A/Bs."""
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         ones = jnp.ones((fold.n_pad,), jnp.float32)
-        eig = woodbury.maybe_eigh(state.item_gramian, self.cfg.dim,
-                                  use_cg=False, q_prev=state.eig_qu,
-                                  refresh_tol=self.cfg.eig_refresh_tol)
+        blockwise = ((self.cfg.block_interleaved
+                      or os.environ.get("FRT_FOLDIN_BLOCKWISE"))
+                     and not os.environ.get("FRT_FOLDIN_EXACT"))
+        eig = None
+        if not blockwise:
+            eig = woodbury.maybe_eigh(state.item_gramian, self.cfg.dim,
+                                      use_cg=False, q_prev=state.eig_qu,
+                                      refresh_tol=self.cfg.eig_refresh_tol)
         return common.block_sweep_frozen(
             ue, state.item_emb, fold.by_user, state.item_gramian,
             self._spec_u(ones), bs=self.cfg.block_size,
