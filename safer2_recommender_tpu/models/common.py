@@ -735,6 +735,13 @@ def block_sweep_interleaved(u, v, by_user, by_item, spec_u_fn, spec_v_fn,
     the analog of the reference's cache that its ComputeUserLoss reads
     (safer2pp.h:611-652); feed to ``losses_from_preds``. Requires
     ``dim % bs == 0`` (callers fall back to the frozen sweep otherwise).
+
+    Zipf-head buckets (``assemble.is_wide``) never materialize a
+    [N, L, bs] slab: their per-block gathers stream through fixed-width
+    column chunks of the bs-wide block table (the interleaved analog of
+    ``assemble.wide_*``; the reference's per-tuple cache handles any
+    width, ialspp.h:399-406). Their carried predictions are padded to a
+    whole number of chunks — ``losses_from_preds`` slices them back.
     """
     dim = u.shape[1]
     assert dim % bs == 0, "interleaved sweep requires dim % bs == 0"
@@ -745,10 +752,65 @@ def block_sweep_interleaved(u, v, by_user, by_item, spec_u_fn, spec_v_fn,
     def cast(x):
         return x if dtype is None else x.astype(dtype)
 
+    def _plan(b):
+        """Static column-chunk plan (width, count) for a wide bucket —
+        sized against the bs-wide block gathers; every consumer of the
+        bucket's carried [N, c*w] predictions uses the same plan."""
+        n, l = b.col_ids.shape
+        w = min(assemble.WIDE_CHUNK, l)
+        while w > 256 and n * w * (bs + 1) * 4 > assemble.WIDE_SLAB_BYTES:
+            w = (w + 1) // 2
+        return w, -(-l // w)
+
+    def _chunk_cols(b, w, c):
+        n, l = b.col_ids.shape
+        cols = b.col_ids
+        if c * w != l:
+            cols = jnp.pad(cols, ((0, 0), (0, c * w - l)))
+        return (cols.reshape(n, c, w).transpose(1, 0, 2),   # [C, N, W]
+                jnp.arange(c, dtype=jnp.int32) * w)
+
+    def _chunk_gather(aug, b, cols_c, off, has_extra):
+        """One [N, W, bs(+1)] masked chunk gather from the augmented
+        block table; returns (emb, mask, extra-or-None)."""
+        pos = jax.lax.broadcasted_iota(jnp.int32, cols_c.shape, 1) + off
+        mask = (pos < b.length[:, None]).astype(jnp.float32)
+        g = aug[cols_c] * mask[..., None].astype(aug.dtype)
+        if has_extra:
+            return g[..., :-1], mask, g[..., -1].astype(jnp.float32)
+        return g, mask, None
+
     def _pred_bucket(b, tbl_self, other):
         """Fresh per-slot predictions, accumulated block-by-block so no
-        [N, L, dim] slab ever materializes (zipf-head safe)."""
+        [N, L, dim] slab ever materializes."""
         x_full = tbl_self[b.row_ids]
+
+        if assemble.is_wide(b, dim):
+            # Stream column chunks; within each chunk accumulate over
+            # blocks so the live slab stays [N, W, bs].
+            w, c = _plan(b)
+            cols, coffs = _chunk_cols(b, w, c)
+
+            def chunk_step(pred, xc):
+                cols_c, off = xc
+
+                def blk(pc, s):
+                    o_blk = cast(jax.lax.dynamic_slice(
+                        other, (0, s), (other.shape[0], bs)))
+                    emb, _, _ = _chunk_gather(o_blk, b, cols_c, off,
+                                              False)
+                    x_loc = jax.lax.dynamic_slice(x_full, (0, s),
+                                                  (b.n_rows, bs))
+                    return pc + jnp.sum(emb * x_loc[:, None, :],
+                                        axis=2), None
+
+                pc = jax.lax.scan(blk, jnp.zeros((b.n_rows, w),
+                                                 jnp.float32), offs)[0]
+                return jax.lax.dynamic_update_slice(pred, pc,
+                                                    (0, off)), None
+
+            pred0 = jnp.zeros((b.n_rows, c * w), jnp.float32)
+            return jax.lax.scan(chunk_step, pred0, (cols, coffs))[0]
 
         def step(pred, s):
             o_blk = cast(jax.lax.dynamic_slice(
@@ -780,9 +842,69 @@ def block_sweep_interleaved(u, v, by_user, by_item, spec_u_fn, spec_v_fn,
         g_lg = lhs.T @ other                       # [bs, dim] live
         g_loc = jax.lax.dynamic_slice(g_lg, (0, s), (bs, bs))
         o_blk_c = cast(o_blk)
+        aug = o_blk_c if extra is None else jnp.concatenate(
+            [o_blk_c, extra[:, None].astype(o_blk_c.dtype)], axis=1)
         dacc = jnp.zeros((tbl_self.shape[0], bs), jnp.float32)
 
+        def finish(spec, rhs_hist, a_hist, x_full, x_loc):
+            """Shared epilogue: coefficients + pull-back terms + solve."""
+            rhs, a = rhs_hist, a_hist
+            if spec.ch is not None:
+                rhs = rhs * spec.ch[:, None]
+                a = a * spec.ch[:, None, None]
+            rhs = (rhs + spec.cg[:, None] * (x_full @ g_lg.T)
+                   + spec.reg[:, None] * x_loc)
+            a = a + spec.cg[:, None, None] * g_loc[None]
+            return -solve.cholesky_solve(a, rhs, spec.reg)
+
+        def do_b_wide(tbl_self, dacc, b, pred):
+            """Zipf-head block step: stream [N, W, bs] column chunks of
+            the block table (two passes: accumulate, then advance the
+            carried predictions by the solved delta)."""
+            spec = spec_fn(b)
+            n = b.n_rows
+            x_full = tbl_self[b.row_ids]
+            x_loc = jax.lax.dynamic_slice(x_full, (0, s), (n, bs))
+            w, c = _plan(b)
+            cols, coffs = _chunk_cols(b, w, c)
+
+            def acc(carry, xc):
+                a, rh = carry
+                cols_c, off = xc
+                emb, mask_c, wt_c = _chunk_gather(aug, b, cols_c, off,
+                                                  extra is not None)
+                pc = jax.lax.dynamic_slice(pred, (0, off), (n, w))
+                resid = pc - mask_c
+                rh = rh + assemble.row_sums(
+                    emb, col_weight=resid if wt_c is None else
+                    wt_c * resid)
+                a = a + assemble.row_gramians(emb, col_weight=wt_c)
+                return (a, rh), None
+
+            (a, rh), _ = jax.lax.scan(
+                acc, (jnp.zeros((n, bs, bs), jnp.float32),
+                      jnp.zeros((n, bs), jnp.float32)), (cols, coffs))
+            delta = finish(spec, rh, a, x_full, x_loc)
+
+            def upd(pred, xc):
+                cols_c, off = xc
+                emb, _, _ = _chunk_gather(aug, b, cols_c, off,
+                                          extra is not None)
+                pc = jax.lax.dynamic_slice(pred, (0, off), (n, w))
+                pc = pc + jnp.sum(emb * delta[:, None, :], axis=2)
+                return jax.lax.dynamic_update_slice(pred, pc,
+                                                    (0, off)), None
+
+            pred = jax.lax.scan(upd, pred, (cols, coffs))[0]
+            x_new = jax.lax.dynamic_update_slice(x_full, x_loc + delta,
+                                                 (0, s))
+            tbl_self = assemble.scatter_rows(tbl_self, b.row_ids, x_new)
+            dacc = dacc.at[b.row_ids].set(delta, mode="drop")
+            return tbl_self, dacc, pred
+
         def do_b(tbl_self, dacc, b, pred):
+            if assemble.is_wide(b, dim):
+                return do_b_wide(tbl_self, dacc, b, pred)
             if extra is None:
                 emb, mask = assemble.gather_history(o_blk_c, b, None)
                 wt = None
@@ -793,17 +915,12 @@ def block_sweep_interleaved(u, v, by_user, by_item, spec_u_fn, spec_v_fn,
             x_full = tbl_self[b.row_ids]
             x_loc = jax.lax.dynamic_slice(x_full, (0, s), (b.n_rows, bs))
             resid = pred - mask
-            rhs = assemble.row_sums(
-                emb, col_weight=resid if wt is None else wt * resid)
-            if spec.ch is not None:
-                rhs = rhs * spec.ch[:, None]
-            rhs = (rhs + spec.cg[:, None] * (x_full @ g_lg.T)
-                   + spec.reg[:, None] * x_loc)
-            a = assemble.row_gramians(emb, col_weight=wt)
-            if spec.ch is not None:
-                a = a * spec.ch[:, None, None]
-            a = a + spec.cg[:, None, None] * g_loc[None]
-            delta = -solve.cholesky_solve(a, rhs, spec.reg)
+            delta = finish(
+                spec,
+                assemble.row_sums(
+                    emb, col_weight=resid if wt is None else wt * resid),
+                assemble.row_gramians(emb, col_weight=wt),
+                x_full, x_loc)
             pred = pred + jnp.sum(emb * delta[:, None, :], axis=2)
             x_new = jax.lax.dynamic_update_slice(x_full, x_loc + delta,
                                                  (0, s))
@@ -837,6 +954,21 @@ def block_sweep_interleaved(u, v, by_user, by_item, spec_u_fn, spec_v_fn,
                                       (tbl_self.shape[0], bs))
 
         def do_p(b, pred):
+            if assemble.is_wide(b, dim):
+                xb = x_blk[b.row_ids]
+                w, c = _plan(b)
+                cols, coffs = _chunk_cols(b, w, c)
+
+                def step(pred, xc):
+                    cols_c, off = xc
+                    dg, _, _ = _chunk_gather(dacc, b, cols_c, off, False)
+                    pc = jax.lax.dynamic_slice(pred, (0, off),
+                                               (b.n_rows, w))
+                    pc = pc + jnp.sum(dg * xb[:, None, :], axis=2)
+                    return jax.lax.dynamic_update_slice(pred, pc,
+                                                        (0, off)), None
+
+                return jax.lax.scan(step, pred, (cols, coffs))[0]
             dg, _ = assemble.gather_history(dacc, b, None)
             return pred + jnp.sum(dg * x_blk[b.row_ids][:, None, :],
                                   axis=2)
@@ -878,6 +1010,7 @@ def losses_from_preds(preds_u, by_user, u, gram, num_users: int,
 
     def lb(b, p):
         mask = assemble.history_mask(b)
+        p = p[:, :mask.shape[1]]   # wide preds are chunk-padded
         obs = jnp.sum(jnp.square(p - mask) * mask, axis=1)
         if mean:
             obs = obs / safe_len(b)

@@ -37,7 +37,13 @@ from safer2_recommender_tpu.ops import woodbury
 class IALSpp(Recommender):
     name = "ialspp"
     _stats_order = "post"
-    _loss_lags_one_epoch = True
+
+    @property
+    def _loss_lags_one_epoch(self) -> bool:
+        # In interleaved mode the stored loss is computed at end of
+        # epoch from the carried prediction cache — it does NOT lag.
+        return not (self.cfg.block_interleaved
+                    and self.cfg.dim % self.cfg.block_size == 0)
 
     def _reg_vectors(self, dd: DeviceData):
         cfg = self.cfg
@@ -72,9 +78,12 @@ class IALSpp(Recommender):
                 self._spec_fn(dd.num_items), self._spec_fn(dd.num_users),
                 bs=cfg.block_size, dtype=self.asm_dtype)
             gram = v.T @ v
+            # mean=True: the reference's ComputeUserLoss divides by
+            # |H_u| (ialspp.h 'loss /= user_history.size()'), matching
+            # the frozen path's gather_and_losses.
             loss = common.losses_from_preds(
                 preds_u, dd.by_user, u, gram, dd.num_users,
-                cfg.uobs_weight, mean=False, halve=False)
+                cfg.uobs_weight, mean=True, halve=False)
             return state.replace(user_emb=u, item_emb=v,
                                  item_gramian=gram, user_loss=loss,
                                  steps=state.steps + 1)
@@ -123,8 +132,8 @@ class IALSpp(Recommender):
         FRT_FOLDIN_EXACT / FRT_FOLDIN_BLOCKWISE override for A/Bs."""
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         blockwise = ((self.cfg.block_interleaved
-                      or os.environ.get("FRT_FOLDIN_BLOCKWISE"))
-                     and not os.environ.get("FRT_FOLDIN_EXACT"))
+                      or os.environ.get("FRT_FOLDIN_BLOCKWISE") == "1")
+                     and os.environ.get("FRT_FOLDIN_EXACT") != "1")
         eig = None
         if not blockwise:
             eig = woodbury.maybe_eigh(state.item_gramian, self.cfg.dim,

@@ -39,7 +39,13 @@ from safer2_recommender_tpu.ops import quantile, smoothing, woodbury
 
 class SAFER2pp(SaferFamilyMixin, Recommender):
     name = "safer2pp"
-    _loss_lags_one_epoch = True
+
+    @property
+    def _loss_lags_one_epoch(self) -> bool:
+        # In interleaved mode the stored loss is computed at end of
+        # epoch from the carried prediction cache — it does NOT lag.
+        return not (self.cfg.block_interleaved
+                    and self.cfg.dim % self.cfg.block_size == 0)
 
     def _log_epoch_lines(self) -> None:
         # reference safer2pp.h:325-326, :353
@@ -213,8 +219,8 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         ones = jnp.ones((fold.n_pad,), jnp.float32)
         blockwise = ((self.cfg.block_interleaved
-                      or os.environ.get("FRT_FOLDIN_BLOCKWISE"))
-                     and not os.environ.get("FRT_FOLDIN_EXACT"))
+                      or os.environ.get("FRT_FOLDIN_BLOCKWISE") == "1")
+                     and os.environ.get("FRT_FOLDIN_EXACT") != "1")
         eig = None
         if not blockwise:
             eig = woodbury.maybe_eigh(state.item_gramian, self.cfg.dim,

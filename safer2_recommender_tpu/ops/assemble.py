@@ -131,6 +131,14 @@ def _wide_chunks(table: jax.Array, vec: Optional[jax.Array],
     return (cols, offs), gather_fn
 
 
+def wide_chunks(table: jax.Array, vec: Optional[jax.Array],
+                bucket: Bucket, dtype=None):
+    """Public column-chunk iterator (see ``_wide_chunks``): used by the
+    interleaved blockwise sweep to stream zipf-head buckets through
+    fixed-width chunks of a [rows, bs] block table."""
+    return _wide_chunks(table, vec, bucket, dtype)
+
+
 def wide_assemble(table: jax.Array, bucket: Bucket,
                   extra_vec: Optional[jax.Array] = None,
                   dtype=None, row_coef: Optional[jax.Array] = None,

@@ -101,6 +101,11 @@ def compute_xi(losses: jax.Array, prev_xi: jax.Array, key: jax.Array, *,
     return xi
 
 
+# Crossover between top_k(k) and a full sort for exact_quantile; see
+# scripts/probe_quantile.py for the measurement.
+_TOPK_MAX_K = 1024
+
+
 def exact_quantile(losses: jax.Array, alpha: float) -> jax.Array:
     """CVaR-MF's exact xi: the floor(n*alpha)-th largest loss.
 
@@ -118,8 +123,3 @@ def exact_quantile(losses: jax.Array, alpha: float) -> jax.Array:
         return jnp.sort(losses)[n - 1 - q]
     top = jax.lax.top_k(losses, q + 1)[0]
     return top[q]
-
-
-# Crossover between top_k(k) and a full sort for exact_quantile; see
-# scripts/probe_quantile.py for the measurement.
-_TOPK_MAX_K = 1024

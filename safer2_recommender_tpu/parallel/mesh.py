@@ -63,6 +63,24 @@ _TRANSFER_CHUNK_BYTES = 128 * 1024 * 1024
 def _chunked_put(x, sharding):
     x = np.asarray(x)
     row_bytes = x.nbytes // x.shape[0]
+    if row_bytes > _TRANSFER_CHUNK_BYTES:
+        # A single row exceeds the transfer budget (rows would clamp to
+        # 1 and each per-chunk transfer would still hang the tunneled
+        # runtime): chunk the FLATTENED array by elements and reshape
+        # on device instead.
+        flat = x.reshape(-1)
+        elems = max(1, _TRANSFER_CHUNK_BYTES // x.itemsize)
+        parts = [jax.device_put(flat[i:i + elems])
+                 for i in range(0, flat.size, elems)]
+        shape = x.shape
+        cat = lambda *p: jnp.concatenate(p).reshape(shape)  # noqa: E731
+        out_sh = sharding
+        if out_sh is None and jax.default_backend() != "cpu":
+            out_sh = jax.sharding.SingleDeviceSharding(
+                parts[0].devices().pop())
+        if out_sh is None:
+            return jax.jit(cat)(*parts)
+        return jax.jit(cat, out_shardings=out_sh)(*parts)
     rows = max(1, _TRANSFER_CHUNK_BYTES // max(1, row_bytes))
     parts = [jax.device_put(x[i:i + rows])
              for i in range(0, x.shape[0], rows)]
