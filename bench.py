@@ -99,10 +99,11 @@ def time_epochs(model, dd, bench_epochs: int, reps: int) -> float:
 
 
 def bench_northstar(on_cpu: bool):
-    """dim=512 on the MSD-shaped 50k-user synthetic workload: the exact
-    SAFER2 north-star plus the blockwise models (safer2pp/ialspp, block
-    64) so a ++-engine regression shows in the round artifact (VERDICT
-    r2 item 3)."""
+    """dim=512 on the MSD-shaped 50k-user synthetic workload: ALL SIX
+    models (VERDICT r3 item 6) — the exact SAFER2 north-star, the
+    blockwise engines (safer2pp/ialspp, block 64), and the baselines
+    (ials, erm_mf, cvar_mf) so any solver-path regression shows in the
+    round artifact."""
     from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
     from safer2_recommender_tpu.data.synth import powerlaw_dataset
 
@@ -112,11 +113,13 @@ def bench_northstar(on_cpu: bool):
     dd = DeviceData.build(ds, dim=dim)
     cfg = Config(dim=dim, uobs_weight=0.0004, l2_reg=0.0012, alpha=0.3,
                  bandwidth=0.1, use_snr=True, sampling_ratio=0.1,
-                 xi_iterations=5, pd_iterations=1, block_size=64)
+                 xi_iterations=5, pd_iterations=1, block_size=64,
+                 stepsize=0.1)
     n_users = None
     out = {}
     for name in (("safer2",) if on_cpu else
-                 ("safer2", "safer2pp", "ialspp")):
+                 ("safer2", "safer2pp", "ialspp", "ials", "erm_mf",
+                  "cvar_mf")):
         model = get_model(name, cfg, ds.num_users, ds.num_items)
         model.initialize(dd)
         model.train_epochs(dd, 1)
@@ -178,12 +181,10 @@ def main() -> int:
         "epoch_ms": round(ns_epoch_s * 1000, 1),
         # blockwise (++) models on the SAME workload/dim — regression
         # guard for the block-sweep engine (absent on the CPU fallback)
-        "safer2pp_dim512_epoch_ms": round(
-            ns_times["safer2pp"] * 1000, 1) if "safer2pp" in ns_times
-        else None,
-        "ialspp_dim512_epoch_ms": round(
-            ns_times["ialspp"] * 1000, 1) if "ialspp" in ns_times
-        else None,
+        **{f"{name}_dim512_epoch_ms": (
+            round(ns_times[name] * 1000, 1) if name in ns_times else None)
+           for name in ("safer2pp", "ialspp", "ials", "erm_mf",
+                        "cvar_mf")},
         "ml1m_dim32_users_per_s_chip": round(ml_rate, 1),
         "ml1m_dim32_vs_cpp_1core": round(ml_vs, 2),
         "ml1m_dim32_epoch_ms": round(ml_epoch_s * 1000, 1),

@@ -151,11 +151,23 @@ class Dataset:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Bucket:
-    """A padded tile of rows whose histories all fit in ``L`` columns."""
+    """A padded tile of rows whose histories all fit in ``L`` columns.
+
+    ``contiguous`` buckets (produced by ``DeviceData.build``'s
+    solver-order renumbering) own the table row range
+    ``[row_start, row_start + real rows)``: row reads become slices and
+    write-backs become masked ``dynamic_update_slice``s at memcpy-class
+    bandwidth instead of TPU scatters (measured 54 GB/s in-graph —
+    8.8 ms/epoch of the dim-512 roofline). ``row_ids`` stays authoritative
+    either way (real rows are ``row_start + arange``; pads follow).
+    """
 
     row_ids: jax.Array    # [N] int32; padded rows == num_rows (drop)
     col_ids: jax.Array    # [N, L] int32; padded cols == 0 (masked)
     length: jax.Array     # [N] int32; 0 on padded rows
+    row_start: Optional[jax.Array] = None   # scalar i32 (contiguous only)
+    contiguous: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def n_rows(self) -> int:
@@ -271,6 +283,56 @@ def _segment_arange(counts: np.ndarray) -> np.ndarray:
     return out
 
 
+def _solver_order(buckets, num_rows: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Solver-order renumbering of one side's ids.
+
+    New id = position of the row in the concatenation of the built
+    buckets' real rows (so every bucket owns a contiguous id range);
+    ids absent from every bucket (history-less gap ids, reference
+    safer2.h:827-830 keeps vector slots for them) follow in old-id
+    order. Returns ``(perm old->new, order new->old)``.
+    """
+    parts = []
+    for b in buckets:
+        r = np.asarray(b.row_ids)
+        n = int(np.asarray(b.length).astype(bool).sum())
+        parts.append(r[:n])
+    active = (np.concatenate(parts) if parts
+              else np.zeros(0, np.int64)).astype(np.int64)
+    perm = np.full(num_rows, -1, np.int64)
+    perm[active] = np.arange(active.size)
+    gaps = np.flatnonzero(perm < 0)
+    perm[gaps] = active.size + np.arange(gaps.size)
+    order = np.empty(num_rows, np.int64)
+    order[perm] = np.arange(num_rows)
+    return perm.astype(np.int32), order.astype(np.int32)
+
+
+def _renumber_buckets(buckets, perm_other: np.ndarray,
+                      num_rows: int) -> Tuple[Bucket, ...]:
+    """Rewrite one side's buckets into solver order: row ids become the
+    bucket's contiguous range (``contiguous=True`` when the padded
+    window fits the table — only the last bucket's pad can overhang,
+    which keeps the scatter fallback), col ids map through the OTHER
+    side's permutation."""
+    out, start = [], 0
+    for b in buckets:
+        n = int(np.asarray(b.length).astype(bool).sum())
+        row_ids = np.full(b.n_rows, num_rows, dtype=np.int32)
+        row_ids[:n] = start + np.arange(n, dtype=np.int32)
+        col_ids = perm_other[np.asarray(b.col_ids)].astype(np.int32)
+        contig = start + b.n_rows <= num_rows
+        out.append(Bucket(
+            row_ids=jnp.asarray(row_ids),
+            col_ids=jnp.asarray(col_ids),
+            length=b.length,
+            row_start=jnp.int32(start) if contig else None,
+            contiguous=contig,
+        ))
+        start += n
+    return tuple(out)
+
+
 def _bucket_budgets(dim: int, budget_bytes: int) -> Tuple[int, int]:
     """Per-bucket row/tuple caps from the embedding dim (0 = no cap).
 
@@ -316,12 +378,22 @@ class DeviceData:
 
     by_user: Tuple[Bucket, ...]
     by_item: Tuple[Bucket, ...]
-    user_hist_size: jax.Array   # [num_users] f32
-    item_hist_size: jax.Array   # [num_items] f32
-    item_reg: jax.Array         # [num_items] f32
+    user_hist_size: jax.Array   # [num_users] f32 (solver order)
+    item_hist_size: jax.Array   # [num_items] f32 (solver order)
+    item_reg: jax.Array         # [num_items] f32 (solver order)
     num_users: int = dataclasses.field(metadata=dict(static=True))
     num_items: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    # Solver-order renumbering (see _solver_order): every per-row array
+    # in this structure — and every model table/vector trained against
+    # it — lives in PERMUTED (solver-order) id space. perm maps
+    # original -> solver ids, order maps back. Evaluation data built in
+    # original id space is remapped model-side (models/base.py::
+    # _permuted_fold); serving decodes item ids through item_order.
+    user_perm: Optional[jax.Array] = None    # [num_users] i32 old->new
+    item_perm: Optional[jax.Array] = None    # [num_items] i32 old->new
+    user_order: Optional[jax.Array] = None   # [num_users] i32 new->old
+    item_order: Optional[jax.Array] = None   # [num_items] i32 new->old
 
     @classmethod
     def build(
@@ -351,6 +423,14 @@ class DeviceData:
             i_rows, i_cols, num_items,
             min_bucket, row_multiple, growth, max_rows, max_tuples)
 
+        # Solver-order renumbering: each bucket's rows become a
+        # contiguous table range (write-backs become dynamic_update_
+        # slice instead of scatter — see Bucket.contiguous).
+        perm_u, order_u = _solver_order(by_user, num_users)
+        perm_i, order_i = _solver_order(by_item, num_items)
+        by_user = _renumber_buckets(by_user, perm_i, num_users)
+        by_item = _renumber_buckets(by_item, perm_u, num_items)
+
         # bincount ≈ 10x faster than np.add.at at MSD scale
         uh = np.bincount(ds.user_ids,
                          minlength=num_users).astype(np.float32)
@@ -362,19 +442,29 @@ class DeviceData:
         dd = cls(
             by_user=by_user,
             by_item=by_item,
-            user_hist_size=jnp.asarray(uh),
-            item_hist_size=jnp.asarray(ih),
-            item_reg=jnp.asarray(ireg),
+            user_hist_size=jnp.asarray(uh[order_u]),
+            item_hist_size=jnp.asarray(ih[order_i]),
+            item_reg=jnp.asarray(ireg[order_i]),
             num_users=num_users,
             num_items=num_items,
             nnz=ds.nnz,
+            user_perm=jnp.asarray(perm_u),
+            item_perm=jnp.asarray(perm_i),
+            user_order=jnp.asarray(order_u),
+            item_order=jnp.asarray(order_i),
         )
         if mesh is not None:
             dd = dd.shard(mesh)
         return dd
 
     def shard(self, mesh) -> "DeviceData":
-        """Shard bucket rows over the mesh data axis; vectors replicated."""
+        """Shard bucket rows over the mesh data axis; vectors replicated.
+
+        Sharded buckets drop the contiguous fast path (contiguous=False):
+        a dynamic-update-slice whose window spans every shard of a
+        row-sharded table partitions worse than the per-shard scatter
+        the collective audit (tests/test_multidevice.py) already gates.
+        """
         rep = mesh_lib.replicated(mesh)
         shard_bucket = lambda b: Bucket(
             row_ids=mesh_lib.put(b.row_ids, mesh_lib.row_sharding(mesh, 1)),
@@ -388,6 +478,10 @@ class DeviceData:
             user_hist_size=mesh_lib.put(self.user_hist_size, rep),
             item_hist_size=mesh_lib.put(self.item_hist_size, rep),
             item_reg=mesh_lib.put(self.item_reg, rep),
+            user_perm=mesh_lib.put(self.user_perm, rep),
+            item_perm=mesh_lib.put(self.item_perm, rep),
+            user_order=mesh_lib.put(self.user_order, rep),
+            item_order=mesh_lib.put(self.item_order, rep),
         )
 
 

@@ -131,6 +131,55 @@ class Recommender:
     def initialize(self, dd: DeviceData) -> None:
         """Pre-training warm start; overridden by the SAFER family
         (reference safer2.h:819-838)."""
+        self._note_perms(dd)
+
+    def _note_perms(self, dd: DeviceData) -> None:
+        """Remember the training data's solver-order permutation
+        (data/dataset.py::_solver_order). Model tables and per-row state
+        live in solver-order id space; evaluation/serving data built in
+        original id space is remapped through this at eval time."""
+        if getattr(dd, "item_perm", None) is not None:
+            self._item_perm = dd.item_perm
+            self._item_order = dd.item_order
+            self._user_order = dd.user_order
+
+    def _permute_fold(self, fold: FoldInData) -> FoldInData:
+        """Remap a FoldInData's item ids (fold-in histories, exclusion
+        lists, ground truth) into the model's solver-order item space.
+        Identity when the model never saw a renumbered DeviceData. The
+        result is cached per fold object — evaluation runs every epoch
+        under --print_evaluation_stats."""
+        perm = getattr(self, "_item_perm", None)
+        if perm is None:
+            return fold
+        cache = getattr(self, "_fold_perm_cache", None)
+        if cache is None:
+            cache = self._fold_perm_cache = {}
+        hit = cache.get(id(fold))
+        if hit is not None and hit[0] is fold:
+            return hit[1]
+        ni = self.num_items
+
+        def ids(a):
+            # gt/excl pads are num_items ("never matches"); keep them out
+            # of range after the remap too
+            return jnp.where(a >= ni, ni,
+                             perm[jnp.minimum(a, ni - 1)].astype(a.dtype))
+
+        def bmap(b):
+            # bucket col pads are 0 and masked; a plain remap suffices
+            return dataclasses.replace(
+                b, col_ids=perm[b.col_ids].astype(jnp.int32))
+
+        out = dataclasses.replace(
+            fold,
+            by_user=tuple(bmap(b) for b in fold.by_user),
+            excl=ids(fold.excl),
+            gt=ids(fold.gt),
+        )
+        cache.clear()
+        cache[id(fold)] = (fold, out)
+        return out
 
     def train_epochs(self, dd: DeviceData, n: int) -> None:
         """Run ``n`` epochs in ONE device dispatch via ``lax.scan``.
@@ -140,6 +189,7 @@ class Recommender:
         the per-epoch stat logging — use ``train_epoch`` when per-epoch
         stats are on (the reference logs per epoch, run_model.cc:258-270).
         """
+        self._note_perms(dd)
         if not hasattr(self, "_epochs_scan_jit"):
             def _run(state, dd_, n_):
                 return jax.lax.scan(
@@ -161,6 +211,7 @@ class Recommender:
         float(jnp.asarray(self.state.xi))
 
     def train_epoch(self, dd: DeviceData) -> None:
+        self._note_perms(dd)
         if self._stats_order == "pre":
             self._log_train_stats(dd)
         prev = self.state if self.print_residual_stats else None
@@ -239,6 +290,7 @@ class Recommender:
         """Held-out evaluation (reference EvaluateDataset overrides):
         fold in fresh user embeddings from fold.by_user with items frozen,
         score the full catalog, mask history, compute Recall/NDCG."""
+        fold = self._permute_fold(fold)
         ue = self._fold_in_jit(self.state, fold)
         if self._eval_jit is None:
             self._eval_jit = jax.jit(
@@ -283,6 +335,7 @@ class Recommender:
         else:
             fold = histories
             users = np.arange(fold.n_eval)
+        fold = self._permute_fold(fold)
         ue = self._fold_in_jit(self.state, fold)
         if self._rec_jit is None:
             self._rec_jit = jax.jit(self._recommend_ids,
@@ -290,6 +343,10 @@ class Recommender:
         from safer2_recommender_tpu.parallel.mesh import to_host
         ids = to_host(
             self._rec_jit(ue, self.state.item_emb, fold.excl, k=k))
+        order = getattr(self, "_item_order", None)
+        if order is not None:
+            # decode solver-order item ids back to catalog ids
+            ids = to_host(order)[ids]
         return users, ids[: users.size]
 
     def _recommend_ids(self, ue: jax.Array, item_emb: jax.Array,

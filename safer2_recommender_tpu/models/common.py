@@ -121,12 +121,16 @@ def group_same_shape(buckets):
     """Group buckets by (n_rows, width): singles stay ``Bucket``, repeats
     become ``BucketStack``. Order across groups is insertion order of
     first occurrence; per-sweep row sets are disjoint so reordering
-    buckets never changes the result."""
+    buckets never changes the result. The contiguity flag joins the key:
+    it is static pytree metadata, so a contiguous bucket cannot stack
+    with a scatter-path one (only the last bucket of a side can
+    differ — pad overhang, data/dataset.py::_renumber_buckets)."""
     by_shape = {}
     for b in buckets:
-        by_shape.setdefault((b.n_rows, b.width), []).append(b)
+        by_shape.setdefault((b.n_rows, b.width, b.contiguous),
+                            []).append(b)
     out = []
-    for (n, w), bs in by_shape.items():
+    for (n, w, _), bs in by_shape.items():
         if len(bs) == 1:
             out.append(bs[0])
         else:
@@ -156,10 +160,13 @@ def assemble_rotated(p: SolveParams, eig) -> Tuple[jax.Array, jax.Array,
     Returns (a_rot, rhs_rot, ridge [N, d]).
     """
     q, lam = eig
+    # The rotation matmul emits directly in the compute dtype (MXU
+    # accumulation stays f32); an f32 output + astype was a full
+    # convert pass over the largest slab in the program.
     emb_rot = jax.lax.dot_general(
         p.emb, q.astype(p.emb.dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(p.emb.dtype)
+        preferred_element_type=p.emb.dtype)
     a = assemble.row_gramians(emb_rot, col_weight=p.wt)
     rhs = assemble.row_sums(emb_rot, col_weight=p.r)
     ridge = p.c0[:, None] + p.c1[:, None] * lam[None, :]
@@ -292,13 +299,13 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
         if pre is None:
             def body(tbl, b):
                 x = solve_one(tie_bucket(b, tbl), None)
-                return assemble.scatter_rows(tbl, b.row_ids, x), None
+                return assemble.scatter_bucket(tbl, b, x), None
             table = jax.lax.scan(body, table, g.stack)[0]
         else:
             def body(tbl, xs):
                 b, p = xs
                 x = solve_one(b, p)
-                return assemble.scatter_rows(tbl, b.row_ids, x), None
+                return assemble.scatter_bucket(tbl, b, x), None
             table = jax.lax.scan(body, table, (g.stack, pre))[0]
         token, ftoken = bump(table)
 
@@ -326,7 +333,7 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
         x = solve_one(b, pre)
         if not overlap:
             token, ftoken = bump(x)
-        table = assemble.scatter_rows(table, b.row_ids, x)
+        table = assemble.scatter_bucket(table, b, x)
     if overlap and wood:
         token, ftoken = bump(table)
 
@@ -351,8 +358,8 @@ def solve_sweep(table: jax.Array, buckets, params_fn, gram, *,
         token, ftoken = bump(x)
         ofs = 0
         for b in group:
-            table = assemble.scatter_rows(table, b.row_ids,
-                                          x[ofs:ofs + b.n_rows])
+            table = assemble.scatter_bucket(table, b,
+                                            x[ofs:ofs + b.n_rows])
             ofs += b.n_rows
     return table
 
@@ -611,9 +618,9 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
                 rhs = rhs * spec.ch[:, None]
             xf = woodbury.solve_rhs(emb, wt_eff, spec.reg, spec.cg,
                                     rhs, q_full, lam_full)
-            return assemble.scatter_rows(tbl, b.row_ids, xf)
+            return assemble.scatter_bucket(tbl, b, xf)
 
-        xf = tbl[b.row_ids]
+        xf = assemble.read_rows(tbl, b)
         pred = assemble.rowwise_dot(emb, xf)
         use_wood = wood and 2 * b.width <= bs   # static per bucket
 
@@ -650,11 +657,11 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
             return xf, pred
 
         xf, _ = run_blocks((xf, pred), blk)
-        return assemble.scatter_rows(tbl, b.row_ids, xf)
+        return assemble.scatter_bucket(tbl, b, xf)
 
     def do_wide(tbl, b):
         spec = spec_fn(b)
-        xf0 = tbl[b.row_ids]
+        xf0 = assemble.read_rows(tbl, b)
         s_full, r0 = assemble.wide_gram_resid(table_other, b, xf0,
                                               extra_vec=extra_vec,
                                               dtype=dtype)
@@ -681,7 +688,7 @@ def block_sweep_frozen(table_self, table_other, buckets, gram, spec_fn,
                 xf, x_loc + delta, s, axis=1)
 
         xf = run_blocks(xf0, blk)
-        return assemble.scatter_rows(tbl, b.row_ids, xf)
+        return assemble.scatter_bucket(tbl, b, xf)
 
     def do_bucket(tbl, b, pre=None):
         # Tie the slab gather to the carried table: the gather reads
@@ -783,7 +790,7 @@ def block_sweep_interleaved(u, v, by_user, by_item, spec_u_fn, spec_v_fn,
     def _pred_bucket(b, tbl_self, other):
         """Fresh per-slot predictions, accumulated block-by-block so no
         [N, L, dim] slab ever materializes."""
-        x_full = tbl_self[b.row_ids]
+        x_full = assemble.read_rows(tbl_self, b)
 
         if assemble.is_wide(b, dim):
             # Stream column chunks; within each chunk accumulate over
@@ -863,7 +870,7 @@ def block_sweep_interleaved(u, v, by_user, by_item, spec_u_fn, spec_v_fn,
             carried predictions by the solved delta)."""
             spec = spec_fn(b)
             n = b.n_rows
-            x_full = tbl_self[b.row_ids]
+            x_full = assemble.read_rows(tbl_self, b)
             x_loc = jax.lax.dynamic_slice(x_full, (0, s), (n, bs))
             w, c = _plan(b)
             cols, coffs = _chunk_cols(b, w, c)
@@ -898,8 +905,8 @@ def block_sweep_interleaved(u, v, by_user, by_item, spec_u_fn, spec_v_fn,
             pred = jax.lax.scan(upd, pred, (cols, coffs))[0]
             x_new = jax.lax.dynamic_update_slice(x_full, x_loc + delta,
                                                  (0, s))
-            tbl_self = assemble.scatter_rows(tbl_self, b.row_ids, x_new)
-            dacc = dacc.at[b.row_ids].set(delta, mode="drop")
+            tbl_self = assemble.scatter_bucket(tbl_self, b, x_new)
+            dacc = assemble.scatter_bucket(dacc, b, delta)
             return tbl_self, dacc, pred
 
         def do_b(tbl_self, dacc, b, pred):
@@ -912,7 +919,7 @@ def block_sweep_interleaved(u, v, by_user, by_item, spec_u_fn, spec_v_fn,
                 emb, mask, wt = assemble.gather_history_extra(
                     o_blk_c, extra, b, None)
             spec = spec_fn(b)
-            x_full = tbl_self[b.row_ids]
+            x_full = assemble.read_rows(tbl_self, b)
             x_loc = jax.lax.dynamic_slice(x_full, (0, s), (b.n_rows, bs))
             resid = pred - mask
             delta = finish(
@@ -924,8 +931,8 @@ def block_sweep_interleaved(u, v, by_user, by_item, spec_u_fn, spec_v_fn,
             pred = pred + jnp.sum(emb * delta[:, None, :], axis=2)
             x_new = jax.lax.dynamic_update_slice(x_full, x_loc + delta,
                                                  (0, s))
-            tbl_self = assemble.scatter_rows(tbl_self, b.row_ids, x_new)
-            dacc = dacc.at[b.row_ids].set(delta, mode="drop")
+            tbl_self = assemble.scatter_bucket(tbl_self, b, x_new)
+            dacc = assemble.scatter_bucket(dacc, b, delta)
             return tbl_self, dacc, pred
 
         new_preds = []
@@ -955,7 +962,7 @@ def block_sweep_interleaved(u, v, by_user, by_item, spec_u_fn, spec_v_fn,
 
         def do_p(b, pred):
             if assemble.is_wide(b, dim):
-                xb = x_blk[b.row_ids]
+                xb = assemble.read_rows(x_blk, b)
                 w, c = _plan(b)
                 cols, coffs = _chunk_cols(b, w, c)
 
@@ -970,7 +977,7 @@ def block_sweep_interleaved(u, v, by_user, by_item, spec_u_fn, spec_v_fn,
 
                 return jax.lax.scan(step, pred, (cols, coffs))[0]
             dg, _ = assemble.gather_history(dacc, b, None)
-            return pred + jnp.sum(dg * x_blk[b.row_ids][:, None, :],
+            return pred + jnp.sum(dg * assemble.read_rows(x_blk, b)[:, None, :],
                                   axis=2)
 
         new_preds = []
@@ -1014,17 +1021,17 @@ def losses_from_preds(preds_u, by_user, u, gram, num_users: int,
         obs = jnp.sum(jnp.square(p - mask) * mask, axis=1)
         if mean:
             obs = obs / safe_len(b)
-        x = u[b.row_ids]
+        x = assemble.read_rows(u, b)
         loss = obs + uobs * jnp.einsum("nd,de,ne->n", x, gram, x)
         return loss * 0.5 if halve else loss
 
     for g, pred in zip(group_same_shape(by_user), preds_u):
         if isinstance(g, Bucket):
-            out = assemble.scatter_vector(out, g.row_ids, lb(g, pred))
+            out = assemble.scatter_bucket_vector(out, g, lb(g, pred))
         else:
             out = jax.lax.scan(
-                lambda o, xs: (assemble.scatter_vector(
-                    o, xs[0].row_ids, lb(xs[0], xs[1])), None),
+                lambda o, xs: (assemble.scatter_bucket_vector(
+                    o, xs[0], lb(xs[0], xs[1])), None),
                 out, (g.stack, pred))[0]
     return out
 
@@ -1091,7 +1098,7 @@ def gather_and_losses(table_other: jax.Array, buckets, probe_table,
     pre = [] if keep else None
 
     def piece(b):
-        x = probe_table[b.row_ids]
+        x = assemble.read_rows(probe_table, b)
         if assemble.is_wide(b, dim):
             t = table_other if dtype is None else table_other.astype(dtype)
             obs = assemble.wide_obs(t, b, x) / safe_len(b)
@@ -1111,14 +1118,14 @@ def gather_and_losses(table_other: jax.Array, buckets, probe_table,
         if isinstance(g, BucketStack):
             def body(o, b):
                 loss, emb, mask = piece(tie_bucket(b, o))
-                o = assemble.scatter_vector(o, b.row_ids, loss)
+                o = assemble.scatter_bucket_vector(o, b, loss)
                 return o, ((emb, mask) if (keep and not g_wide) else 0)
             out, ys = jax.lax.scan(body, out, g.stack)
             if keep:
                 pre.append(None if g_wide else ys)
         else:
             loss, emb, mask = piece(tie_bucket(g, out))
-            out = assemble.scatter_vector(out, g.row_ids, loss)
+            out = assemble.scatter_bucket_vector(out, g, loss)
             if keep:
                 pre.append(None if g_wide else (emb, mask))
     return out, pre

@@ -43,10 +43,10 @@ class CVaRMF(SaferFamilyMixin, Recommender):
             p = common.params_weighted_mean(
                 item_emb, b, jnp.full((b.n_rows,), reg, jnp.float32),
                 cfg.uobs_weight, w, dtype=self.asm_dtype, pre=pre)
-            u_rows = ue[b.row_ids]
+            u_rows = assemble.read_rows(ue, b)
             grad = common.grad_from_params(p, gramian, u_rows)
-            return assemble.scatter_rows(ue, b.row_ids,
-                                         u_rows - cfg.stepsize * grad)
+            return assemble.scatter_bucket(ue, b,
+                                           u_rows - cfg.stepsize * grad)
 
         return common.sweep_apply(buckets, pre_list, ue, body)
 
@@ -62,10 +62,10 @@ class CVaRMF(SaferFamilyMixin, Recommender):
             p = common.params_weighted_item(
                 user_emb, b, reg, cfg.uobs_weight, norm_dual,
                 dtype=self.asm_dtype)
-            v_rows = v[b.row_ids]
+            v_rows = assemble.read_rows(v, b)
             grad = common.grad_from_params(p, w_gram, v_rows)
-            return assemble.scatter_rows(v, b.row_ids,
-                                         v_rows - cfg.stepsize * grad)
+            return assemble.scatter_bucket(v, b,
+                                           v_rows - cfg.stepsize * grad)
 
         return common.sweep_apply(dd.by_item, None, v, body)
 
@@ -99,6 +99,7 @@ class CVaRMF(SaferFamilyMixin, Recommender):
 
     def initialize(self, dd: DeviceData) -> None:
         """Pre-compute losses (reference cvar_mf.h:710-726)."""
+        self._note_perms(dd)
         @jax.jit
         def _init(state: MFState, dd_: DeviceData):
             loss = common.user_losses(

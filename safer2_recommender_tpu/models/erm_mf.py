@@ -59,6 +59,7 @@ class ERMMF(SaferFamilyMixin, Recommender):
         """Pre-compute losses (reference erm_mf.h:573-587; history sizes
         and item_reg live in DeviceData). Same assembly dtype as every
         epoch's loss pass so the epoch-0 stats are consistent."""
+        self._note_perms(dd)
         @jax.jit
         def _init(state: MFState, dd_: DeviceData):
             loss = common.user_losses(

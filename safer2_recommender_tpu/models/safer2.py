@@ -108,6 +108,7 @@ class SAFER2(SaferFamilyMixin, Recommender):
         """Reference safer2.h:819-838. The loss/xi warm start now runs at
         the top of the first epoch (see ``_epoch``); here we only compute
         the loss so the pre-training state is inspectable."""
+        self._note_perms(dd)
         @jax.jit
         def _init(state: MFState, dd_: DeviceData):
             loss = common.user_losses(

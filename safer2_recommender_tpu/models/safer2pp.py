@@ -186,6 +186,7 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         compute the loss so the pre-training state is inspectable. The
         reference's cache priming is folded away — predictions are
         recomputed wherever needed."""
+        self._note_perms(dd)
         @jax.jit
         def _init(state: MFState, dd_: DeviceData):
             loss = common.user_losses(

@@ -45,7 +45,7 @@ def loss_decomposition(
     from safer2_recommender_tpu.ops import assemble
 
     def body(acc, b, _):
-        u = user_emb[b.row_ids]
+        u = assemble.read_rows(user_emb, b)
         if assemble.is_wide(b, item_emb.shape[1]):
             # zipf-head buckets stream (the full [N, L, d] gather this
             # used to do OOMed MSD-scale runs at the first stats line)

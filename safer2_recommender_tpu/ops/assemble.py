@@ -304,13 +304,67 @@ def scatter_rows(table: jax.Array, row_ids: jax.Array,
 
     Replaces the reference's mutex-guarded ``get_user_embedding_ref(u) =
     new_user_emb`` write-back (ials.h:352-354).
+
+    Prefer ``scatter_bucket`` when a ``Bucket`` is in hand — contiguous
+    buckets bypass the TPU scatter lowering entirely (measured 54 GB/s
+    in-graph, 8.8 ms/epoch of the dim-512 roofline; declaring
+    sorted/unique indices made it WORSE — 38 GB/s — by inserting a
+    table copy).
     """
     return table.at[row_ids].set(values.astype(table.dtype), mode="drop")
+
+
+def _use_contig(bucket: Bucket) -> bool:
+    import os
+    return bucket.contiguous and not os.environ.get("FRT_NO_CONTIG")
+
+
+def read_rows(table: jax.Array, bucket: Bucket) -> jax.Array:
+    """``table[bucket.row_ids]`` — a slice (not a gather) for contiguous
+    solver-order buckets. Padded rows read whatever follows the bucket's
+    range; their solves are garbage either way and the masked write-back
+    drops them."""
+    if _use_contig(bucket):
+        return jax.lax.dynamic_slice(
+            table, (bucket.row_start,) + (0,) * (table.ndim - 1),
+            (bucket.n_rows,) + table.shape[1:])
+    return table[bucket.row_ids]
+
+
+def scatter_bucket(table: jax.Array, bucket: Bucket,
+                   values: jax.Array) -> jax.Array:
+    """Bucket-aware write-back (see ``scatter_rows``): contiguous
+    buckets do a masked read-modify-write ``dynamic_update_slice`` at
+    memcpy-class bandwidth (54 -> ~740 GB/s measured); the [N] mask
+    keeps padded rows at their current table values, so pad overhang
+    into the next bucket's rows is harmless."""
+    if _use_contig(bucket):
+        start = (bucket.row_start,) + (0,) * (table.ndim - 1)
+        cur = jax.lax.dynamic_slice(
+            table, start, (bucket.n_rows,) + table.shape[1:])
+        mask = (bucket.length > 0).reshape(
+            (-1,) + (1,) * (table.ndim - 1))
+        vals = jnp.where(mask, values.astype(table.dtype), cur)
+        return jax.lax.dynamic_update_slice(table, vals, start)
+    return scatter_rows(table, bucket.row_ids, values)
 
 
 def scatter_vector(vec: jax.Array, row_ids: jax.Array,
                    values: jax.Array) -> jax.Array:
     return vec.at[row_ids].set(values.astype(vec.dtype), mode="drop")
+
+
+def scatter_bucket_vector(vec: jax.Array, bucket: Bucket,
+                          values: jax.Array) -> jax.Array:
+    """Bucket-aware per-row scalar write-back (same contract as
+    ``scatter_bucket``)."""
+    if _use_contig(bucket):
+        cur = jax.lax.dynamic_slice(vec, (bucket.row_start,),
+                                    (bucket.n_rows,))
+        vals = jnp.where(bucket.length > 0, values.astype(vec.dtype), cur)
+        return jax.lax.dynamic_update_slice(vec, vals,
+                                            (bucket.row_start,))
+    return scatter_vector(vec, bucket.row_ids, values)
 
 
 # NOTE: there is deliberately NO per-tuple prediction cache here. The

@@ -154,34 +154,43 @@ def applicable(width: int, dim: int) -> bool:
 
 def _prep(emb: jax.Array, wt: jax.Array, c0: jax.Array, c1: jax.Array,
           q: jax.Array, lam: jax.Array):
-    """Shared Woodbury ingredients: rotated history ``w`` [N, L, d],
-    rotated-basis M^-1 diagonal ``s`` [N, d], weighted rotated history
-    ``wts`` and the L x L capacitance ``K = Vt M^-1 Vt^T`` (its +I_L
-    rides the solver's lazy diagonal shift)."""
+    """Shared Woodbury ingredients: rotated history ``w`` [N, L, d]
+    (compute dtype), rotated-basis M^-1 diagonal ``s`` [N, d], per-slot
+    sqrt-weights ``sq`` [N, L] and the L x L capacitance
+    ``K = Vt M^-1 Vt^T`` (its +I_L rides the solver's lazy shift).
+
+    Dataflow (round 4): the rotation matmul emits ``w`` directly in the
+    compute dtype (MXU accumulation stays f32; the previous f32 slab +
+    two bf16 convert passes were 12.9 ms/epoch of pure dtype traffic on
+    the dim-512 north-star trace), and the weighted slab ``wts`` is
+    never materialized — the per-slot sqrt(wt) factors are rank-1 on
+    (l, m), so they post-scale the [N, L, L] capacitance (<= L/d of the
+    bytes) and fold into the small [N, L] operands in ``_finish``.
+    """
     compute_dtype = emb.dtype
     # Rotate histories into the shared eigenbasis: ONE plain matmul.
     w = jax.lax.dot_general(
         emb, q.astype(compute_dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                   # [N, L, d]
+        preferred_element_type=compute_dtype)                 # [N, L, d]
     s = 1.0 / (c1[:, None] * lam[None, :] + c0[:, None])      # [N, d]
     sq = jnp.sqrt(wt)
-    wts = w * sq[:, :, None]                                  # Vt Q
     k = jnp.einsum("nle,nme->nlm",
-                   (wts * s[:, None, :]).astype(compute_dtype),
-                   wts.astype(compute_dtype),
+                   w * s[:, None, :].astype(compute_dtype), w,
                    preferred_element_type=jnp.float32)
-    return w, s, wts, k
+    k = k * (sq[:, :, None] * sq[:, None, :])
+    return w, s, sq, k
 
 
-def _finish(z: jax.Array, s: jax.Array, wts: jax.Array, k: jax.Array,
-            q: jax.Array) -> jax.Array:
-    """x = Q (z - s Vt^T (K+I)^-1 Vt z) given the rotated M^-1 rhs z."""
+def _finish(z: jax.Array, s: jax.Array, sq: jax.Array, w: jax.Array,
+            k: jax.Array, q: jax.Array) -> jax.Array:
+    """x = Q (z - s Vt^T (K+I)^-1 Vt z) given the rotated M^-1 rhs z
+    (``Vt = diag(sq) Vh``; the sq factors ride the [N, L] sides)."""
     # matvec-like contractions as multiply+reduce (XLA's batched mat-vec
     # lowering pays a fixed per-element MXU cost that dominates at scale)
-    u = jnp.sum(wts * z[:, None, :], axis=2)
+    u = sq * jnp.sum(w * z[:, None, :], axis=2)
     y = block_chol.spd_solve(k, u, jnp.ones((k.shape[0],), k.dtype))
-    wty = jnp.sum(wts * y[:, :, None], axis=1)
+    wty = jnp.sum(w * (sq * y)[:, :, None], axis=1)
     out = z - s * wty
     return jax.lax.dot_general(
         out.astype(jnp.float32), q,
@@ -191,9 +200,9 @@ def _finish(z: jax.Array, s: jax.Array, wts: jax.Array, k: jax.Array,
 
 def solve(p: SolveParams, q: jax.Array, lam: jax.Array) -> jax.Array:
     """Batched Woodbury solve of A x = Vh^T r -> new rows [N, d] (f32)."""
-    w, s, wts, k = _prep(p.emb, p.wt, p.c0, p.c1, q, lam)
+    w, s, sq, k = _prep(p.emb, p.wt, p.c0, p.c1, q, lam)
     rv = jnp.sum(w * p.r[:, :, None], axis=1)                 # Q^T Vh^T r
-    return _finish(s * rv, s, wts, k, q)
+    return _finish(s * rv, s, sq, w, k, q)
 
 
 def solve_rhs(emb: jax.Array, wt: jax.Array, c0: jax.Array, c1: jax.Array,
@@ -204,9 +213,8 @@ def solve_rhs(emb: jax.Array, wt: jax.Array, c0: jax.Array, c1: jax.Array,
     models/common.py::block_sweep_frozen). Same A as ``solve``:
     A = c0 I + c1 G + emb^T diag(wt) emb with G = Q diag(lam) Q^T.
     """
-    w, s, wts, k = _prep(emb, wt, c0, c1, q, lam)
-    del w
+    w, s, sq, k = _prep(emb, wt, c0, c1, q, lam)
     bz = jax.lax.dot_general(b, q,
                              dimension_numbers=(((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    return _finish(s * bz, s, wts, k, q)
+    return _finish(s * bz, s, sq, w, k, q)

@@ -21,44 +21,84 @@ def _pairs_from_buckets(buckets):
 
 
 def test_roundtrip(tiny):
+    # Bucket ids live in solver-order space (DeviceData.build renumbers
+    # so each bucket owns a contiguous table range); mapping back
+    # through user_order/item_order must recover the COO multiset.
     ds, dd = tiny
+    uo = np.asarray(dd.user_order)
+    io = np.asarray(dd.item_order)
     rows, cols = _pairs_from_buckets(dd.by_user)
+    rows, cols = uo[rows], io[cols]
     assert len(rows) == ds.nnz
     # by_user recovers the COO multiset
     assert sorted(zip(rows.tolist(), cols.tolist())) == sorted(
         zip(ds.user_ids.tolist(), ds.item_ids.tolist()))
     # the by_item view is the transposed multiset
     rows_i, cols_i = _pairs_from_buckets(dd.by_item)
+    rows_i, cols_i = io[rows_i], uo[cols_i]
     assert len(rows_i) == ds.nnz
     assert sorted(zip(cols_i.tolist(), rows_i.tolist())) == sorted(
         zip(ds.user_ids.tolist(), ds.item_ids.tolist()))
 
 
+def test_solver_order_contiguity(tiny):
+    # The renumbering contract scatter_bucket/read_rows rely on: every
+    # contiguous bucket's real rows are exactly
+    # [row_start, row_start + n), consecutive across buckets; at most
+    # the LAST bucket of a side may be non-contiguous (pad overhang),
+    # and perm/order are inverse permutations.
+    ds, dd = tiny
+    for buckets, num, perm, order in (
+            (dd.by_user, dd.num_users, dd.user_perm, dd.user_order),
+            (dd.by_item, dd.num_items, dd.item_perm, dd.item_order)):
+        perm = np.asarray(perm)
+        order = np.asarray(order)
+        assert np.array_equal(perm[order], np.arange(num))
+        start = 0
+        for i, b in enumerate(buckets):
+            r = np.asarray(b.row_ids)
+            n = int((np.asarray(b.length) > 0).sum())
+            assert np.array_equal(r[:n], np.arange(start, start + n))
+            if b.contiguous:
+                assert int(b.row_start) == start
+                assert start + b.n_rows <= num
+            else:
+                assert i == len(buckets) - 1
+            start += n
+
+
 def test_hist_and_reg_stats(tiny):
     ds, dd = tiny
+    uo = np.asarray(dd.user_order)
+    io = np.asarray(dd.item_order)
     uh = np.zeros(ds.num_users)
     np.add.at(uh, ds.user_ids, 1)
-    assert np.array_equal(np.asarray(dd.user_hist_size), uh)
+    # per-row vectors are stored in solver order
+    assert np.array_equal(np.asarray(dd.user_hist_size), uh[uo])
     # item_reg = sum over the item's users of 1/|H_u| (safer2.h:831-837)
     ireg = np.zeros(ds.num_items)
     for u, i in zip(ds.user_ids, ds.item_ids):
         ireg[i] += 1.0 / uh[u]
-    np.testing.assert_allclose(np.asarray(dd.item_reg), ireg, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dd.item_reg), ireg[io],
+                               rtol=1e-5)
 
 
 def test_padding_sentinels(tiny):
     ds, dd = tiny
-    for buckets, num in ((dd.by_user, dd.num_users),
-                         (dd.by_item, dd.num_items)):
+    for buckets, num, perm_other in (
+            (dd.by_user, dd.num_users, dd.item_perm),
+            (dd.by_item, dd.num_items, dd.user_perm)):
+      pad_col = int(np.asarray(perm_other)[0])
       for b in buckets:
         r = np.asarray(b.row_ids)
         ln = np.asarray(b.length)
         # padded rows carry out-of-bounds ids (dropped by scatters)
         assert np.all(r[ln == 0] == num)
-        # padded columns are id 0 (masked by length at gather time)
+        # padded columns were id 0 before renumbering (masked by length
+        # at gather time), so they now carry perm_other[0]
         c = np.asarray(b.col_ids)
         pos = np.arange(c.shape[1])[None, :]
-        assert np.all(c[pos >= ln[:, None]] == 0)
+        assert np.all(c[pos >= ln[:, None]] == pad_col)
 
 
 def test_fold_in_data(tiny):
