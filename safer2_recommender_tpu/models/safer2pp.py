@@ -209,14 +209,13 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         contract is 8 INCOMPLETE block sweeps from zero init, whose
         non-convergence regularizes the held-out users — with
         interleaved-trained tables that lands within reference reseed
-        noise on the under-regularized dim-512 config (0.2764 vs ref
-        0.2790 NDCG@20). In the default fast mode the sweeps collapse
-        to one exact solve via full-dim Woodbury, CONSISTENT with the
-        training trajectory (++ == exact solver); mixing fast training
-        with blockwise fold-in measured WORST of all combinations
-        (0.2393 — BASELINE.md round-3 fold-in A/B, 2026-08-20), so the
-        two must switch together. FRT_FOLDIN_EXACT / FRT_FOLDIN_BLOCKWISE
-        override for A/Bs."""
+        noise on the under-regularized dim-512 config (0.2794 vs ref
+        0.2790..0.2801 NDCG@20 — BASELINE.md "Interleaved mode
+        records", 2026-08-20). In the default fast mode the sweeps
+        collapse to one exact solve via full-dim Woodbury, CONSISTENT
+        with the training trajectory (++ == exact solver); the
+        measured fold-in mixing A/B is in the same BASELINE.md table.
+        FRT_FOLDIN_EXACT / FRT_FOLDIN_BLOCKWISE override for A/Bs."""
         ue = jnp.zeros((fold.n_pad, self.cfg.dim), jnp.float32)
         ones = jnp.ones((fold.n_pad,), jnp.float32)
         blockwise = ((self.cfg.block_interleaved
