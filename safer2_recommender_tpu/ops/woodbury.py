@@ -174,23 +174,29 @@ def _prep(emb: jax.Array, wt: jax.Array, c0: jax.Array, c1: jax.Array,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=compute_dtype)                 # [N, L, d]
     s = 1.0 / (c1[:, None] * lam[None, :] + c0[:, None])      # [N, d]
-    sq = jnp.sqrt(wt)
-    k = jnp.einsum("nle,nme->nlm",
-                   w * s[:, None, :].astype(compute_dtype), w,
+    rs = jnp.sqrt(s)                                          # [N, d]
+    # ws = diag(sqrt(wt)) W diag(sqrt(s)): ONE fused rank-1-weighted
+    # elementwise pass; K = ws ws^T EXACTLY (sq_l sq_m sum_e w s w),
+    # with no [N, L, L] post-scale pass over the capacitance.
+    ws = w * (jnp.sqrt(wt)[:, :, None]
+              * rs[:, None, :]).astype(compute_dtype)
+    k = jnp.einsum("nle,nme->nlm", ws, ws,
                    preferred_element_type=jnp.float32)
-    k = k * (sq[:, :, None] * sq[:, None, :])
-    return w, s, sq, k
+    return w, s, rs, ws, k
 
 
-def _finish(z: jax.Array, s: jax.Array, sq: jax.Array, w: jax.Array,
+def _finish(z: jax.Array, s: jax.Array, rs: jax.Array, ws: jax.Array,
             k: jax.Array, q: jax.Array) -> jax.Array:
-    """x = Q (z - s Vt^T (K+I)^-1 Vt z) given the rotated M^-1 rhs z
-    (``Vt = diag(sq) Vh``; the sq factors ride the [N, L] sides)."""
+    """x = Q (z - s Vt^T (K+I)^-1 Vt z) given the rotated M^-1 rhs z.
+
+    With ``ws = diag(sq) W diag(rs)``: ``Vt z`` in the rotated basis is
+    ``ws (z / rs)`` and ``Vt^T y`` is ``(ws^T y) / rs`` — the sqrt
+    factors ride the small [N, d]/[N, L] vectors only."""
     # matvec-like contractions as multiply+reduce (XLA's batched mat-vec
     # lowering pays a fixed per-element MXU cost that dominates at scale)
-    u = sq * jnp.sum(w * z[:, None, :], axis=2)
+    u = jnp.sum(ws * (z / rs)[:, None, :], axis=2)
     y = block_chol.spd_solve(k, u, jnp.ones((k.shape[0],), k.dtype))
-    wty = jnp.sum(w * (sq * y)[:, :, None], axis=1)
+    wty = jnp.sum(ws * y[:, :, None], axis=1) / rs
     out = z - s * wty
     return jax.lax.dot_general(
         out.astype(jnp.float32), q,
@@ -200,9 +206,9 @@ def _finish(z: jax.Array, s: jax.Array, sq: jax.Array, w: jax.Array,
 
 def solve(p: SolveParams, q: jax.Array, lam: jax.Array) -> jax.Array:
     """Batched Woodbury solve of A x = Vh^T r -> new rows [N, d] (f32)."""
-    w, s, sq, k = _prep(p.emb, p.wt, p.c0, p.c1, q, lam)
+    w, s, rs, ws, k = _prep(p.emb, p.wt, p.c0, p.c1, q, lam)
     rv = jnp.sum(w * p.r[:, :, None], axis=1)                 # Q^T Vh^T r
-    return _finish(s * rv, s, sq, w, k, q)
+    return _finish(s * rv, s, rs, ws, k, q)
 
 
 def solve_rhs(emb: jax.Array, wt: jax.Array, c0: jax.Array, c1: jax.Array,
@@ -213,8 +219,9 @@ def solve_rhs(emb: jax.Array, wt: jax.Array, c0: jax.Array, c1: jax.Array,
     models/common.py::block_sweep_frozen). Same A as ``solve``:
     A = c0 I + c1 G + emb^T diag(wt) emb with G = Q diag(lam) Q^T.
     """
-    w, s, sq, k = _prep(emb, wt, c0, c1, q, lam)
+    w, s, rs, ws, k = _prep(emb, wt, c0, c1, q, lam)
+    del w
     bz = jax.lax.dot_general(b, q,
                              dimension_numbers=(((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    return _finish(s * bz, s, sq, w, k, q)
+    return _finish(s * bz, s, rs, ws, k, q)

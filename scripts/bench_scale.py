@@ -8,10 +8,13 @@ device-rate at the north-star dimension.
 
 Usage: python scripts/bench_scale.py [num_users] [num_items] [dim] [model]
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 NUM_USERS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 NUM_ITEMS = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000
