@@ -5,6 +5,13 @@ RAM and a crashed run restarts from scratch (SURVEY.md section 5). We add
 orbax-based checkpointing of the full MFState pytree (sharded arrays
 save/restore with their shardings), with a numpy ``.npz`` fallback when
 orbax is unavailable.
+
+Id spaces: the saved tables/vectors are in the SOLVER-ORDER id space of
+the DeviceData they were trained against (data/dataset.py::
+_solver_order). The permutation is a deterministic function of the
+Dataset, so restoring against a DeviceData rebuilt from the same data
+is always consistent; to export rows in original ids, gather through
+``dd.user_order`` / ``dd.item_order``.
 """
 
 from __future__ import annotations

@@ -88,3 +88,32 @@ def test_recommend_serving_api(tiny):
         by_user.setdefault(int(u), set()).add(int(i))
     for row, u in enumerate(users):
         assert not (set(recs[row].tolist()) & by_user[int(u)])
+
+
+def test_recommend_decodes_solver_order_ids(tiny):
+    # Model tables live in solver-order id space (DeviceData.build's
+    # renumbering); recommend() must decode its top-k back to ORIGINAL
+    # catalog ids: the returned top-1's solver-space score must equal
+    # the history-masked maximum of the manually computed score row.
+    import numpy as np
+
+    from safer2_recommender_tpu import Config, Dataset, get_model
+    from safer2_recommender_tpu.data.dataset import FoldInData
+
+    ds, dd = tiny
+    m = get_model("ials", Config(dim=8), ds.num_users, ds.num_items)
+    m.train_epoch(dd)
+    hist = Dataset(ds.user_ids[:300], ds.item_ids[:300])
+    users, recs = m.recommend(hist, k=3)
+
+    empty = Dataset(np.zeros(0, np.int32), np.zeros(0, np.int32))
+    fold = m._permute_fold(FoldInData.build(hist, empty,
+                                            num_items=ds.num_items))
+    ue = np.asarray(m._fold_in_jit(m.state, fold))
+    scores = ue @ np.asarray(m.state.item_emb).T
+    excl = np.asarray(fold.excl)
+    perm = np.asarray(dd.item_perm)
+    for r in range(users.size):
+        s = scores[r].copy()
+        s[excl[r][excl[r] < ds.num_items]] = -np.inf
+        assert np.isclose(s[perm[recs[r, 0]]], s.max(), rtol=1e-5)
