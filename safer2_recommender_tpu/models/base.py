@@ -133,6 +133,39 @@ class Recommender:
         (reference safer2.h:819-838)."""
         self._note_perms(dd)
 
+    def export_state(self, dd: DeviceData = None) -> dict:
+        """Numpy view of the model state in ORIGINAL id space.
+
+        Model tables/vectors live in solver-order ids
+        (data/dataset.py::_solver_order); this gathers them back so
+        ``out["user_emb"][u]`` is user ``u`` of the original Dataset.
+        Pass the training ``dd`` (or rely on the one remembered from
+        training). Returns user_emb, item_emb, user_loss, dual_weight,
+        xi arrays.
+        """
+        from safer2_recommender_tpu.parallel.mesh import to_host
+
+        uo = getattr(dd, "user_order", None) if dd is not None else None
+        io_ = getattr(dd, "item_order", None) if dd is not None else None
+        if uo is None:
+            uo = getattr(self, "_user_order", None)
+        if io_ is None:
+            io_ = getattr(self, "_item_order", None)
+        uo = np.arange(self.num_users) if uo is None else to_host(uo)
+        io_ = np.arange(self.num_items) if io_ is None else to_host(io_)
+        inv_u = np.empty_like(uo)
+        inv_u[uo] = np.arange(uo.size)
+        inv_i = np.empty_like(io_)
+        inv_i[io_] = np.arange(io_.size)
+        s = self.state
+        return {
+            "user_emb": to_host(s.user_emb)[inv_u],
+            "item_emb": to_host(s.item_emb)[inv_i],
+            "user_loss": to_host(s.user_loss)[inv_u],
+            "dual_weight": to_host(s.dual_weight)[inv_u],
+            "xi": float(to_host(s.xi)),
+        }
+
     def _note_perms(self, dd: DeviceData) -> None:
         """Remember the training data's solver-order permutation
         (data/dataset.py::_solver_order). Model tables and per-row state

@@ -90,6 +90,35 @@ def test_recommend_serving_api(tiny):
         assert not (set(recs[row].tolist()) & by_user[int(u)])
 
 
+def test_export_state_original_ids(tiny):
+    # export_state must undo the solver-order renumbering: the exported
+    # per-user loss of original user u equals the state vector at
+    # solver position perm[u].
+    import numpy as np
+
+    from safer2_recommender_tpu import Config, get_model
+
+    ds, dd = tiny
+    m = get_model("safer2", Config(dim=8, bandwidth=0.3),
+                  ds.num_users, ds.num_items)
+    m.initialize(dd)
+    m.train_epoch(dd)
+    out = m.export_state(dd)
+    perm_u = np.asarray(dd.user_perm)
+    perm_i = np.asarray(dd.item_perm)
+    loss = np.asarray(m.state.user_loss)
+    ue = np.asarray(m.state.user_emb)
+    ve = np.asarray(m.state.item_emb)
+    for u in (0, 1, ds.num_users - 1):
+        assert out["user_loss"][u] == loss[perm_u[u]]
+        assert np.array_equal(out["user_emb"][u], ue[perm_u[u]])
+    for i in (0, ds.num_items - 1):
+        assert np.array_equal(out["item_emb"][i], ve[perm_i[i]])
+    # export without dd falls back to the perms remembered at training
+    out2 = m.export_state()
+    assert np.array_equal(out2["user_emb"], out["user_emb"])
+
+
 def test_recommend_decodes_solver_order_ids(tiny):
     # Model tables live in solver-order id space (DeviceData.build's
     # renumbering); recommend() must decode its top-k back to ORIGINAL
