@@ -341,8 +341,16 @@ class Recommender:
             ndcg=ndcg[keep],
         )
 
-    def recommend(self, histories, k: int = 10):
+    def recommend(self, histories, k: int = 10, approx: bool = False):
         """Serve top-k recommendations for new users.
+
+        ``approx=True`` ranks with the TPU's hardware ``approx_max_k``
+        (~0.95 per-element recall: near-tied items may swap in/out of
+        the list) and default-precision scoring. The ranking op itself
+        is ~12x faster (135 -> 11 ms at [8192, 40k] k=100); end-to-end
+        batch serving measured 569 -> 488 ms on the tunneled chip,
+        where host dispatch dominates (BASELINE.md "Serving
+        throughput"). Evaluation always stays exact.
 
         ``histories`` is a Dataset of (user, item) interactions (or a
         pre-built FoldInData); each user's embedding is folded in from
@@ -372,10 +380,11 @@ class Recommender:
         ue = self._fold_in_jit(self.state, fold)
         if self._rec_jit is None:
             self._rec_jit = jax.jit(self._recommend_ids,
-                                    static_argnames=("k",))
+                                    static_argnames=("k", "approx"))
         from safer2_recommender_tpu.parallel.mesh import to_host
         ids = to_host(
-            self._rec_jit(ue, self.state.item_emb, fold.excl, k=k))
+            self._rec_jit(ue, self.state.item_emb, fold.excl, k=k,
+                          approx=approx))
         order = getattr(self, "_item_order", None)
         if order is not None:
             # decode solver-order item ids back to catalog ids
@@ -383,7 +392,8 @@ class Recommender:
         return users, ids[: users.size]
 
     def _recommend_ids(self, ue: jax.Array, item_emb: jax.Array,
-                       excl: jax.Array, *, k: int) -> jax.Array:
+                       excl: jax.Array, *, k: int,
+                       approx: bool = False) -> jax.Array:
         # chunked like _eval_metrics: an unchunked [n_pad, num_items]
         # score matrix for a large serving batch would exhaust HBM
         chunk = self._eval_chunk(ue.shape[0])
@@ -391,9 +401,13 @@ class Recommender:
 
         def score_chunk(args):
             u, ex = args
-            scores = jnp.matmul(u, item_emb.T,
-                                precision=jax.lax.Precision.HIGHEST)
-            return topk_ids(scores, ex, k)
+            # exact serving scores in full f32 (near-ties must rank
+            # deterministically); approx mode accepts tie reordering
+            # and takes the fast default-precision matmul too
+            scores = jnp.matmul(
+                u, item_emb.T,
+                precision=None if approx else jax.lax.Precision.HIGHEST)
+            return topk_ids(scores, ex, k, approx=approx)
 
         ids = jax.lax.map(score_chunk,
                           (self._shard_chunked(ue.reshape(n_chunks, chunk, -1)),

@@ -52,19 +52,21 @@ def main():
                     p=pop).astype(np.int32)
     serve = Dataset(su, si)
 
-    def once():
+    def once(approx):
         t0 = time.perf_counter()
-        u, ids = model.recommend(serve, k=100)
+        u, ids = model.recommend(serve, k=100, approx=approx)
         # to_host inside recommend is the true barrier
         assert ids.shape == (BATCH, 100)
         return time.perf_counter() - t0
 
-    once()                      # compile
-    best = min(once() for _ in range(3))
-    print(f"{MODEL} dim={DIM}: recommend({BATCH} new users, k=100, "
-          f"catalog={ds.num_items}) = {best*1e3:.0f} ms -> "
-          f"{BATCH/best:,.0f} users/s/chip (incl. fold-in + top-k + "
-          f"id decode + host transfer)")
+    for approx in (False, True):
+        once(approx)            # compile
+        best = min(once(approx) for _ in range(3))
+        label = "approx" if approx else "exact"
+        print(f"{MODEL} dim={DIM} [{label}]: recommend({BATCH} new "
+              f"users, k=100, catalog={ds.num_items}) = {best*1e3:.0f} "
+              f"ms -> {BATCH/best:,.0f} users/s/chip (incl. fold-in + "
+              f"top-k + id decode + host transfer)")
 
 
 if __name__ == "__main__":

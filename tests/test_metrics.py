@@ -90,6 +90,33 @@ def test_recommend_serving_api(tiny):
         assert not (set(recs[row].tolist()) & by_user[int(u)])
 
 
+def test_recommend_approx_mode(tiny):
+    # approx=True (TPU approx_max_k; exact fallback on CPU) must keep
+    # the serving invariants — valid original ids, history excluded —
+    # and substantially agree with the exact ranking.
+    import numpy as np
+
+    from safer2_recommender_tpu import Config, Dataset, get_model
+
+    ds, dd = tiny
+    m = get_model("ials", Config(dim=8), ds.num_users, ds.num_items)
+    m.train_epoch(dd)
+    hist = Dataset(ds.user_ids[:400], ds.item_ids[:400])
+    users, exact = m.recommend(hist, k=5)
+    users2, approx = m.recommend(hist, k=5, approx=True)
+    assert np.array_equal(users, users2)
+    assert (approx >= 0).all() and (approx < ds.num_items).all()
+    by_user = {}
+    for u, i in zip(np.asarray(hist.user_ids), np.asarray(hist.item_ids)):
+        by_user.setdefault(int(u), set()).add(int(i))
+    overlaps = []
+    for row, u in enumerate(users):
+        s = set(approx[row].tolist())
+        assert not (s & by_user[int(u)])
+        overlaps.append(len(s & set(exact[row].tolist())) / 5.0)
+    assert np.mean(overlaps) >= 0.7
+
+
 def test_export_state_original_ids(tiny):
     # export_state must undo the solver-order renumbering: the exported
     # per-user loss of original user u equals the state vector at
