@@ -460,16 +460,26 @@ class DeviceData:
     def shard(self, mesh) -> "DeviceData":
         """Shard bucket rows over the mesh data axis; vectors replicated.
 
-        Sharded buckets drop the contiguous fast path (contiguous=False):
-        a dynamic-update-slice whose window spans every shard of a
-        row-sharded table partitions worse than the per-shard scatter
-        the collective audit (tests/test_multidevice.py) already gates.
+        Sharded buckets KEEP the contiguous fast path (round 4): the
+        8-device collective audit and the sharded-vs-single equivalence
+        suite pass with it, and the per-device XLA cost model reads
+        slightly FEWER bytes than the scatter lowering (0.24 vs 0.25 of
+        the 1-device program at the 8k/256 probe shape — no replication
+        blowup from the spanning dynamic-update-slice window).
+        FRT_SHARD_CONTIG=0 restores the scatter path for A/Bs on real
+        multi-chip hardware.
         """
+        import os
+
         rep = mesh_lib.replicated(mesh)
+        keep_contig = os.environ.get("FRT_SHARD_CONTIG") != "0"
         shard_bucket = lambda b: Bucket(
             row_ids=mesh_lib.put(b.row_ids, mesh_lib.row_sharding(mesh, 1)),
             col_ids=mesh_lib.put(b.col_ids, mesh_lib.row_sharding(mesh, 2)),
             length=mesh_lib.put(b.length, mesh_lib.row_sharding(mesh, 1)),
+            row_start=(mesh_lib.put(b.row_start, rep)
+                       if keep_contig and b.contiguous else None),
+            contiguous=keep_contig and b.contiguous,
         )
         return dataclasses.replace(
             self,
