@@ -117,6 +117,7 @@ def bench_northstar(on_cpu: bool):
                  stepsize=0.1)
     n_users = None
     out = {}
+    serve_rate = None
     for name in (("safer2",) if on_cpu else
                  ("safer2", "safer2pp", "ialspp", "ials", "erm_mf",
                   "cvar_mf")):
@@ -128,8 +129,37 @@ def bench_northstar(on_cpu: bool):
                                 reps=1 if on_cpu else 2)
         if n_users is None:
             n_users = int((dd.user_hist_size > 0).sum())
+        if name == "safer2" and not on_cpu:
+            serve_rate = bench_serving(model, ds)
         del model
-    return out, n_users, dim
+    return out, n_users, dim, serve_rate
+
+
+def bench_serving(model, ds, batch: int = 4096) -> float:
+    """End-to-end recommend() users/s for a batch of new users against
+    the north-star catalog (fold-in + scoring + exact top-k + id
+    decode + host transfer) — the serving surface BASELINE.md records."""
+    import numpy as np
+
+    from safer2_recommender_tpu import Dataset
+
+    rng = np.random.default_rng(7)
+    hl = np.clip(rng.lognormal(np.log(20), 0.8, batch), 3,
+                 500).astype(np.int64)
+    pop = 1.0 / (np.arange(1, ds.num_items + 1) ** 0.8)
+    pop /= pop.sum()
+    su = np.repeat(np.arange(batch, dtype=np.int32), hl)
+    si = rng.choice(ds.num_items, size=int(hl.sum()),
+                    p=pop).astype(np.int32)
+    serve = Dataset(su, si)
+
+    def once():
+        t0 = time.perf_counter()
+        model.recommend(serve, k=100)
+        return time.perf_counter() - t0
+
+    once()
+    return batch / min(once() for _ in range(3))
 
 
 def bench_ml1m(on_cpu: bool):
@@ -160,7 +190,7 @@ def main() -> int:
     enable_compilation_cache()
     on_cpu = jax.default_backend() == "cpu"
 
-    ns_times, ns_users, ns_dim = bench_northstar(on_cpu)
+    ns_times, ns_users, ns_dim, serve_rate = bench_northstar(on_cpu)
     ns_epoch_s = ns_times["safer2"]
     ns_rate = ns_users / ns_epoch_s
     ml_epoch_s, ml_rate = bench_ml1m(on_cpu)
@@ -185,6 +215,8 @@ def main() -> int:
             round(ns_times[name] * 1000, 1) if name in ns_times else None)
            for name in ("safer2pp", "ialspp", "ials", "erm_mf",
                         "cvar_mf")},
+        "serving_users_per_s_chip": (round(serve_rate, 1)
+                                     if serve_rate else None),
         "ml1m_dim32_users_per_s_chip": round(ml_rate, 1),
         "ml1m_dim32_vs_cpp_1core": round(ml_vs, 2),
         "ml1m_dim32_epoch_ms": round(ml_epoch_s * 1000, 1),
