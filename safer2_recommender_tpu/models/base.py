@@ -184,6 +184,21 @@ class Recommender:
         under --print_evaluation_stats."""
         perm = getattr(self, "_item_perm", None)
         if perm is None:
+            if int(np.asarray(self.state.steps)) > 0 and not getattr(
+                    self, "_perm_warned", False):
+                # A trained state without a known permutation is almost
+                # certainly a checkpoint restored into a fresh model
+                # that never saw its DeviceData: tables are in solver
+                # order and an identity remap would silently corrupt
+                # metrics/recommendations. One call into train_epoch /
+                # initialize with the rebuilt dd fixes it.
+                self._perm_warned = True
+                _log.warning(
+                    "evaluating a trained state with no recorded id "
+                    "permutation — if this state was restored from a "
+                    "checkpoint, call initialize()/train_epoch() with "
+                    "the DeviceData first so ids can be remapped "
+                    "(docs/API.md 'Id spaces')")
             return fold
         cache = getattr(self, "_fold_perm_cache", None)
         if cache is None:

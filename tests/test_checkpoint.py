@@ -6,6 +6,31 @@ from safer2_recommender_tpu import Config, get_model
 from safer2_recommender_tpu.checkpoint import CheckpointManager
 
 
+def test_restored_state_without_perms_warns(tiny, caplog):
+    # A checkpoint restored into a fresh model (which never saw the
+    # DeviceData) holds solver-order tables with no recorded id
+    # permutation; evaluating it must emit the one-time warning
+    # (models/base.py::_permute_fold) instead of silently remapping
+    # with the identity.
+    import logging
+
+    import jax.numpy as jnp
+
+    from safer2_recommender_tpu.data.dataset import Dataset, FoldInData
+
+    ds, dd = tiny
+    m = get_model("ials", Config(dim=8), ds.num_users, ds.num_items)
+    # simulate a restore: trained steps, but no _note_perms ever ran
+    m.state = m.state.replace(steps=jnp.int32(3))
+    hist = Dataset(ds.user_ids[:50], ds.item_ids[:50])
+    empty = Dataset(ds.user_ids[:0], ds.item_ids[:0])
+    fold = FoldInData.build(hist, empty, num_items=ds.num_items)
+    with caplog.at_level(logging.WARNING, "safer2_recommender_tpu"):
+        m._permute_fold(fold)
+    assert any("no recorded id permutation" in r.message
+               for r in caplog.records)
+
+
 def test_checkpoint_roundtrip(tmp_path, tiny):
     ds, dd = tiny
     cfg = Config(dim=8, bandwidth=0.3)

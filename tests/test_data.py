@@ -120,6 +120,34 @@ def test_fold_in_data(tiny):
         assert np.array_equal(got, expected)
 
 
+def test_contiguous_writeback_compiles_scatter_free():
+    # The solver-order renumbering exists so write-backs compile to
+    # dynamic-update-slices, not TPU scatters (54 GB/s in-graph —
+    # docs/PERFORMANCE.md). Guard it: with id gaps providing pad slack
+    # (every bucket contiguous), the compiled epoch must contain NO
+    # scatter op. A silent fall-back to the scatter path would cost
+    # ~9 ms/epoch at the north-star shape without failing any test.
+    import jax
+    import numpy as np
+
+    from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
+
+    rng = np.random.default_rng(0)
+    # id gaps on BOTH sides -> gap rows absorb all pad overhang
+    users = (rng.integers(0, 100, 4000) * 3 // 2).astype(np.int32)
+    items = (rng.integers(0, 60, 4000) * 2).astype(np.int32)
+    pairs = np.unique(np.stack([users, items], 1), axis=0).astype(np.int32)
+    ds = Dataset(pairs[:, 0], pairs[:, 1])
+    dd = DeviceData.build(ds)
+    assert all(b.contiguous for b in dd.by_user + dd.by_item)
+
+    m = get_model("safer2", Config(dim=16, bandwidth=0.3),
+                  ds.num_users, ds.num_items)
+    hlo = jax.jit(m._epoch).lower(m.state, dd).compile().as_text()
+    assert " scatter" not in hlo and "scatter(" not in hlo, (
+        "epoch compiled with a scatter op despite contiguous buckets")
+
+
 def test_bucket_splitting_matches_unsplit():
     # Tiny memory budget forces bucket row-chunking; training must be
     # numerically identical to the unsplit layout.
