@@ -389,7 +389,7 @@ class DeviceData:
     # it — lives in PERMUTED (solver-order) id space. perm maps
     # original -> solver ids, order maps back. Evaluation data built in
     # original id space is remapped model-side (models/base.py::
-    # _permuted_fold); serving decodes item ids through item_order.
+    # _permute_fold); serving decodes item ids through item_order.
     user_perm: Optional[jax.Array] = None    # [num_users] i32 old->new
     item_perm: Optional[jax.Array] = None    # [num_items] i32 old->new
     user_order: Optional[jax.Array] = None   # [num_users] i32 new->old

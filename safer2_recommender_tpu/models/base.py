@@ -145,24 +145,22 @@ class Recommender:
         """
         from safer2_recommender_tpu.parallel.mesh import to_host
 
-        uo = getattr(dd, "user_order", None) if dd is not None else None
-        io_ = getattr(dd, "item_order", None) if dd is not None else None
-        if uo is None:
-            uo = getattr(self, "_user_order", None)
-        if io_ is None:
-            io_ = getattr(self, "_item_order", None)
-        uo = np.arange(self.num_users) if uo is None else to_host(uo)
-        io_ = np.arange(self.num_items) if io_ is None else to_host(io_)
-        inv_u = np.empty_like(uo)
-        inv_u[uo] = np.arange(uo.size)
-        inv_i = np.empty_like(io_)
-        inv_i[io_] = np.arange(io_.size)
+        # original id u sits at solver position perm[u] (perm/order are
+        # inverse permutations by construction, _solver_order)
+        pu = getattr(dd, "user_perm", None) if dd is not None else None
+        pi = getattr(dd, "item_perm", None) if dd is not None else None
+        if pu is None:
+            pu = getattr(self, "_user_perm", None)
+        if pi is None:
+            pi = getattr(self, "_item_perm", None)
+        pu = np.arange(self.num_users) if pu is None else to_host(pu)
+        pi = np.arange(self.num_items) if pi is None else to_host(pi)
         s = self.state
         return {
-            "user_emb": to_host(s.user_emb)[inv_u],
-            "item_emb": to_host(s.item_emb)[inv_i],
-            "user_loss": to_host(s.user_loss)[inv_u],
-            "dual_weight": to_host(s.dual_weight)[inv_u],
+            "user_emb": to_host(s.user_emb)[pu],
+            "item_emb": to_host(s.item_emb)[pi],
+            "user_loss": to_host(s.user_loss)[pu],
+            "dual_weight": to_host(s.dual_weight)[pu],
             "xi": float(to_host(s.xi)),
         }
 
@@ -174,6 +172,7 @@ class Recommender:
         if getattr(dd, "item_perm", None) is not None:
             self._item_perm = dd.item_perm
             self._item_order = dd.item_order
+            self._user_perm = dd.user_perm
             self._user_order = dd.user_order
 
     def _permute_fold(self, fold: FoldInData) -> FoldInData:
@@ -225,7 +224,12 @@ class Recommender:
             excl=ids(fold.excl),
             gt=ids(fold.gt),
         )
-        cache.clear()
+        # bounded multi-entry cache: the CLI alternates validation and
+        # test folds, and recommend() adds its own — a single slot would
+        # thrash and redo the eager remap every evaluation. Entries pin
+        # the fold object, so id() keys stay unique while cached.
+        if len(cache) >= 4:
+            cache.pop(next(iter(cache)))
         cache[id(fold)] = (fold, out)
         return out
 

@@ -131,14 +131,6 @@ def _wide_chunks(table: jax.Array, vec: Optional[jax.Array],
     return (cols, offs), gather_fn
 
 
-def wide_chunks(table: jax.Array, vec: Optional[jax.Array],
-                bucket: Bucket, dtype=None):
-    """Public column-chunk iterator (see ``_wide_chunks``): used by the
-    interleaved blockwise sweep to stream zipf-head buckets through
-    fixed-width chunks of a [rows, bs] block table."""
-    return _wide_chunks(table, vec, bucket, dtype)
-
-
 def wide_assemble(table: jax.Array, bucket: Bucket,
                   extra_vec: Optional[jax.Array] = None,
                   dtype=None, row_coef: Optional[jax.Array] = None,
@@ -316,7 +308,7 @@ def scatter_rows(table: jax.Array, row_ids: jax.Array,
 
 def _use_contig(bucket: Bucket) -> bool:
     import os
-    return bucket.contiguous and not os.environ.get("FRT_NO_CONTIG")
+    return bucket.contiguous and os.environ.get("FRT_NO_CONTIG") != "1"
 
 
 def read_rows(table: jax.Array, bucket: Bucket) -> jax.Array:

@@ -116,8 +116,9 @@ def put(x, sharding):
         return jax.make_array_from_process_local_data(
             sharding, x, global_shape=x.shape)
     if (not isinstance(x, jax.Array) and np.ndim(x) > 0
-            and np.asarray(x).nbytes > _TRANSFER_CHUNK_BYTES
-            and np.asarray(x).shape[0] > 1):
+            and np.asarray(x).nbytes > _TRANSFER_CHUNK_BYTES):
+        # _chunked_put also handles the single-huge-row case by
+        # element-chunking the flattened array
         return _chunked_put(x, sharding)
     if sharding is None:
         return jax.device_put(x)
