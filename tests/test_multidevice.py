@@ -275,6 +275,13 @@ def test_chunked_put_matches_direct(mesh, monkeypatch):
         np.testing.assert_array_equal(np.asarray(got), x)
         if sh is not None:
             assert got.sharding.is_equivalent_to(sh, x.ndim)
+    # a SINGLE row wider than the budget element-chunks the flattened
+    # array (rows would clamp to 1 and each transfer would still exceed
+    # the budget — the tunneled-runtime hang class)
+    wide = rng.normal(size=(1, 700)).astype(np.float32)   # 2.8KB row
+    for sh in (None, NamedSharding(mesh, P())):
+        got = pmesh.put(wide, sh)
+        np.testing.assert_array_equal(np.asarray(got), wide)
     # tiny arrays and 0-d scalars take the direct path untouched
     np.testing.assert_array_equal(np.asarray(pmesh.put(x[:1], None)), x[:1])
     assert float(pmesh.put(np.float32(3.0), None)) == 3.0
