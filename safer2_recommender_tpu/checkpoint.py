@@ -8,10 +8,14 @@ orbax is unavailable.
 
 Id spaces: the saved tables/vectors are in the SOLVER-ORDER id space of
 the DeviceData they were trained against (data/dataset.py::
-_solver_order). The permutation is a deterministic function of the
-Dataset, so restoring against a DeviceData rebuilt from the same data
-is always consistent; to export rows in original ids, gather through
-``dd.user_order`` / ``dd.item_order``.
+_solver_order). Since format v2 the checkpoint is SELF-CONTAINED: a
+``meta_{epoch}.npz`` sidecar persists the id orders (``user_order`` /
+``item_order``), a fingerprint of the training DeviceData, and a format
+version, so a restore into a fresh process can evaluate / serve / export
+in correct original ids without ever rebuilding the DeviceData
+(``Recommender.load_checkpoint_meta``). The sidecar is plain npz under
+BOTH backends — orbax step layout stays untouched, and a directory
+written by one backend restores under the other.
 """
 
 from __future__ import annotations
@@ -60,7 +64,10 @@ class CheckpointManager:
                 options=ocp.CheckpointManagerOptions(max_to_keep=3),
             )
 
-    def save(self, state, epoch: int) -> None:
+    def save(self, state, epoch: int, meta: Optional[dict] = None) -> None:
+        """Persist ``state`` (and, since format v2, the id-space ``meta``
+        from ``Recommender.checkpoint_meta()`` — the solver-order id
+        permutations that make the checkpoint self-contained)."""
         if self._mgr is not None:
             self._mgr.save(
                 epoch, args=self._ocp.args.StandardSave(
@@ -74,20 +81,32 @@ class CheckpointManager:
                      **leaves)
             with open(os.path.join(self.directory, "latest.json"), "w") as f:
                 json.dump({"epoch": epoch}, f)
-            self._prune_npz(keep=3)
+        if meta is not None:
+            np.savez(os.path.join(self.directory, f"meta_{epoch}.npz"),
+                     **meta)
+        self._prune_npz("state", keep=3)
+        self._prune_npz("meta", keep=3)
         _log.info("Saved checkpoint at epoch %d", epoch)
 
-    def _prune_npz(self, keep: int) -> None:
+    def _prune_npz(self, prefix: str, keep: int) -> None:
         """Match the orbax backend's max_to_keep — two full embedding
         tables per save add up fast at scale."""
         import glob
 
-        paths = glob.glob(os.path.join(self.directory, "state_*.npz"))
+        paths = glob.glob(os.path.join(self.directory, f"{prefix}_*.npz"))
         by_epoch = sorted(
             paths, key=lambda p: int(
-                os.path.basename(p)[len("state_"):-len(".npz")]))
+                os.path.basename(p)[len(prefix) + 1:-len(".npz")]))
         for p in by_epoch[:-keep]:
             os.remove(p)
+
+    def restore_meta(self, epoch: int) -> Optional[dict]:
+        """Id-space sidecar of ``epoch`` (None on pre-v2 checkpoints)."""
+        path = os.path.join(self.directory, f"meta_{epoch}.npz")
+        if not os.path.exists(path):
+            return None
+        with np.load(path) as data:
+            return {k: data[k] for k in data.files}
 
     def _npz_epoch(self) -> Optional[int]:
         path = os.path.join(self.directory, "latest.json")
@@ -105,6 +124,17 @@ class CheckpointManager:
             cands.append(self._mgr.latest_step())
         cands = [c for c in cands if c is not None]
         return max(cands) if cands else None
+
+    def restore_with_meta(
+            self, template_state
+    ) -> Tuple[Optional[object], int, Optional[dict]]:
+        """``restore`` plus the id-space sidecar: returns
+        (state or None, start_epoch, meta or None). Feed the meta to
+        ``Recommender.load_checkpoint_meta`` so evaluation / serving /
+        export are id-correct without rebuilding the DeviceData."""
+        state, epoch = self.restore(template_state)
+        meta = self.restore_meta(epoch) if state is not None else None
+        return state, epoch, meta
 
     def restore(self, template_state) -> Tuple[Optional[object], int]:
         """Restore the newest checkpoint shaped like ``template_state``.

@@ -234,9 +234,10 @@ def main(argv=None) -> int:
         from safer2_recommender_tpu.checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(args.checkpoint_dir)
-        restored, start_epoch = ckpt.restore(model.state)
+        restored, start_epoch, meta = ckpt.restore_with_meta(model.state)
     if restored is not None:
         model.state = restored
+        model.load_checkpoint_meta(meta)
         log.info("Restored checkpoint at epoch %d", start_epoch)
     else:
         # the SAFER-family warm start is a full-dataset device pass —
@@ -277,7 +278,8 @@ def main(argv=None) -> int:
                 evaluate(epoch + n - 1)
             if ckpt is not None and args.checkpoint_every and (
                     (epoch + n) % args.checkpoint_every == 0):
-                ckpt.save(model.state, epoch + n)
+                ckpt.save(model.state, epoch + n,
+                          meta=model.checkpoint_meta())
                 last_saved = epoch + n
             epoch += n
 
@@ -285,7 +287,7 @@ def main(argv=None) -> int:
     # --epoch (or may be unset while --checkpoint_dir is given)
     if ckpt is not None and cfg.epochs > start_epoch and (
             last_saved != cfg.epochs):
-        ckpt.save(model.state, cfg.epochs)
+        ckpt.save(model.state, cfg.epochs, meta=model.checkpoint_meta())
 
     log.info("Validation Results")
     evaluate(cfg.epochs)

@@ -33,6 +33,21 @@ from safer2_recommender_tpu.ops import woodbury
 _log = logging.getLogger("safer2_recommender_tpu")
 
 
+def _dd_fingerprint(dd: DeviceData) -> Tuple[int, ...]:
+    """Identity of a DeviceData's id universe + solver order:
+    (num_users, num_items, nnz, crc32(user_order), crc32(item_order)).
+    Model tables are only meaningful relative to the solver order they
+    were trained in; this is what export/eval/serving validate against
+    (id spaces: data/dataset.py::_solver_order)."""
+    import zlib
+
+    from safer2_recommender_tpu.parallel.mesh import to_host
+
+    return (dd.num_users, dd.num_items, dd.nnz,
+            zlib.crc32(to_host(dd.user_order).astype(np.int32).tobytes()),
+            zlib.crc32(to_host(dd.item_order).astype(np.int32).tobytes()))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MFState:
@@ -139,22 +154,52 @@ class Recommender:
         Model tables/vectors live in solver-order ids
         (data/dataset.py::_solver_order); this gathers them back so
         ``out["user_emb"][u]`` is user ``u`` of the original Dataset.
-        Pass the training ``dd`` (or rely on the one remembered from
-        training). Returns user_emb, item_emb, user_loss, dual_weight,
-        xi arrays.
+        The permutation is remembered from training (or restored from a
+        format-v2 checkpoint via ``load_checkpoint_meta``); a passed
+        ``dd`` is validated against it. Returns user_emb, item_emb,
+        user_loss, dual_weight, xi arrays.
+
+        Raises on a TRAINED state whose permutation is unknown (e.g. a
+        pre-v2 checkpoint restored into a fresh process) — an identity
+        fallback would return solver-order rows silently labeled as
+        original-id rows, wrong for every user. Matches the id contract
+        of the reference's eval surface (recommender.h:78-129): results
+        must be id-correct however the state got there.
         """
         from safer2_recommender_tpu.parallel.mesh import to_host
 
+        if dd is not None and getattr(dd, "user_perm", None) is not None:
+            fp = _dd_fingerprint(dd)
+            if getattr(self, "_dd_fp", None) is not None \
+                    and fp != self._dd_fp:
+                raise ValueError(
+                    "export_state: the supplied DeviceData does not match "
+                    "the data this state was trained against (fingerprint "
+                    f"{fp} != {self._dd_fp}); rows would come back "
+                    "misaligned. Pass the training DeviceData (or none — "
+                    "the training permutation is remembered).")
         # original id u sits at solver position perm[u] (perm/order are
         # inverse permutations by construction, _solver_order)
-        pu = getattr(dd, "user_perm", None) if dd is not None else None
-        pi = getattr(dd, "item_perm", None) if dd is not None else None
+        pu = getattr(self, "_user_perm", None)
+        pi = getattr(self, "_item_perm", None)
+        if pu is None and dd is not None:
+            pu = getattr(dd, "user_perm", None)
+            pi = getattr(dd, "item_perm", None)
         if pu is None:
-            pu = getattr(self, "_user_perm", None)
-        if pi is None:
-            pi = getattr(self, "_item_perm", None)
-        pu = np.arange(self.num_users) if pu is None else to_host(pu)
-        pi = np.arange(self.num_items) if pi is None else to_host(pi)
+            if int(np.asarray(self.state.steps)) > 0:
+                raise ValueError(
+                    "export_state on a trained state with no recorded id "
+                    "permutation — the tables are in solver order and "
+                    "would be mislabeled. If this state was restored "
+                    "from a checkpoint, restore the id sidecar too "
+                    "(CheckpointManager.restore_with_meta + "
+                    "load_checkpoint_meta), or call initialize()/"
+                    "train_epoch() with the training DeviceData first "
+                    "(docs/API.md 'Id spaces').")
+            pu = np.arange(self.num_users)
+            pi = np.arange(self.num_items)
+        else:
+            pu, pi = to_host(pu), to_host(pi)
         s = self.state
         return {
             "user_emb": to_host(s.user_emb)[pu],
@@ -164,16 +209,124 @@ class Recommender:
             "xi": float(to_host(s.xi)),
         }
 
+    def checkpoint_meta(self) -> dict:
+        """Id-space sidecar for ``CheckpointManager.save`` (format v2):
+        the solver-order id orders + training-data fingerprint that make
+        a checkpoint self-contained. None when no DeviceData was seen
+        yet (a fresh untrained model)."""
+        if getattr(self, "_user_order", None) is None:
+            return None
+        from safer2_recommender_tpu.parallel.mesh import to_host
+
+        return {
+            "format_version": np.int32(2),
+            "user_order": to_host(self._user_order).astype(np.int32),
+            "item_order": to_host(self._item_order).astype(np.int32),
+            "dd_fp": np.asarray(self._dd_fp, np.int64),
+        }
+
+    def load_checkpoint_meta(self, meta: dict) -> None:
+        """Adopt a restored checkpoint's id sidecar: evaluation, serving
+        and export become id-correct in this process without ever
+        rebuilding the training DeviceData. ``meta=None`` (a pre-v2
+        checkpoint) warns if the restored state is trained."""
+        if meta is None:
+            if int(np.asarray(self.state.steps)) > 0:
+                _log.warning(
+                    "restored checkpoint has no id sidecar (format v1) — "
+                    "evaluation/serving/export need the training "
+                    "DeviceData (same bucketing parameters) passed to "
+                    "initialize()/train_epoch() first to recover the id "
+                    "permutation")
+            return
+        uo = np.asarray(meta["user_order"], np.int32)
+        io = np.asarray(meta["item_order"], np.int32)
+        if uo.size != self.num_users or io.size != self.num_items:
+            raise ValueError(
+                f"checkpoint id sidecar sized ({uo.size}, {io.size}) does "
+                f"not match this model ({self.num_users}, "
+                f"{self.num_items}) — wrong checkpoint for this dataset?")
+        up = np.empty_like(uo)
+        up[uo] = np.arange(uo.size, dtype=np.int32)
+        ip = np.empty_like(io)
+        ip[io] = np.arange(io.size, dtype=np.int32)
+        put = jnp.asarray
+        if self.mesh is not None:
+            from safer2_recommender_tpu.parallel import mesh as mesh_lib
+            rep = mesh_lib.replicated(self.mesh)
+            put = lambda x: mesh_lib.put(x, rep)
+        self._user_order, self._user_perm = put(uo), put(up)
+        self._item_order, self._item_perm = put(io), put(ip)
+        self._dd_fp = tuple(int(x) for x in meta["dd_fp"])
+        self._noted_dd_id = None
+        self._fold_perm_cache = {}
+
     def _note_perms(self, dd: DeviceData) -> None:
         """Remember the training data's solver-order permutation
         (data/dataset.py::_solver_order). Model tables and per-row state
         live in solver-order id space; evaluation/serving data built in
-        original id space is remapped through this at eval time."""
-        if getattr(dd, "item_perm", None) is not None:
-            self._item_perm = dd.item_perm
-            self._item_order = dd.item_order
-            self._user_perm = dd.user_perm
-            self._user_order = dd.user_order
+        original id space is remapped through this at eval time.
+
+        Validates repeat calls against the remembered fingerprint: a
+        TRAINED state fed a DeviceData with a different solver order
+        (same data rebucketed — e.g. other memory_budget_bytes/growth,
+        or a post-restore rebuild) is REMAPPED into the new order; a
+        different id universe raises instead of silently corrupting."""
+        if getattr(dd, "item_perm", None) is None:
+            return
+        if getattr(self, "_noted_dd_id", None) == id(dd):
+            return
+        fp = _dd_fingerprint(dd)
+        old = getattr(self, "_dd_fp", None)
+        if old is not None and old != fp:
+            trained = int(np.asarray(self.state.steps)) > 0
+            if not trained:
+                pass  # untrained tables are order-free: just re-target
+            elif old[:3] == fp[:3]:
+                _log.warning(
+                    "DeviceData solver order differs from the one this "
+                    "state was trained in (same id universe — likely "
+                    "rebuilt with different bucketing parameters); "
+                    "remapping model tables into the new order")
+                self._remap_state_to(dd)
+            else:
+                raise ValueError(
+                    "train/initialize called with a DeviceData whose id "
+                    f"universe {fp[:3]} (users, items, nnz) does not "
+                    f"match the one this trained state came from "
+                    f"{old[:3]} — tables would be silently misaligned. "
+                    "Build the DeviceData from the training Dataset, or "
+                    "start from a fresh model.")
+        self._item_perm = dd.item_perm
+        self._item_order = dd.item_order
+        self._user_perm = dd.user_perm
+        self._user_order = dd.user_order
+        self._dd_fp = fp
+        self._noted_dd_id = id(dd)
+        self._fold_perm_cache = {}
+
+    def _remap_state_to(self, dd: DeviceData) -> None:
+        """Gather per-row state from the remembered solver order into
+        ``dd``'s. Slot j of the new order holds original id
+        dd.*_order[j], which sat at old slot old_perm[dd.*_order[j]].
+        The [dim, dim] leaves (gramian, eigenbases) are permutation-
+        invariant (G = VᵀV) and stay untouched."""
+        from safer2_recommender_tpu.parallel.mesh import to_host
+
+        gu = to_host(self._user_perm)[to_host(dd.user_order)]
+        gi = to_host(self._item_perm)[to_host(dd.item_order)]
+        put = jnp.asarray
+        if self.mesh is not None:
+            from safer2_recommender_tpu.parallel import mesh as mesh_lib
+            rep = mesh_lib.replicated(self.mesh)
+            put = lambda x: mesh_lib.put(x, rep)
+        s = self.state
+        self.state = s.replace(
+            user_emb=put(to_host(s.user_emb)[gu]),
+            item_emb=put(to_host(s.item_emb)[gi]),
+            user_loss=put(to_host(s.user_loss)[gu]),
+            dual_weight=put(to_host(s.dual_weight)[gu]),
+        )
 
     def _permute_fold(self, fold: FoldInData) -> FoldInData:
         """Remap a FoldInData's item ids (fold-in histories, exclusion

@@ -31,6 +31,185 @@ def test_restored_state_without_perms_warns(tiny, caplog):
                for r in caplog.records)
 
 
+def test_export_state_raises_on_trained_state_without_perms(tiny):
+    # The identity fallback on a TRAINED state would return solver-order
+    # rows silently labeled as original ids (VERDICT r4 weak #1) — it
+    # must be an error, not a fallback.
+    import jax.numpy as jnp
+    import pytest
+
+    ds, _ = tiny
+    m = get_model("ials", Config(dim=8), ds.num_users, ds.num_items)
+    m.state = m.state.replace(steps=jnp.int32(2))  # simulated v1 restore
+    with pytest.raises(ValueError, match="no recorded id permutation"):
+        m.export_state()
+
+
+def test_export_state_rejects_mismatched_dd(tiny):
+    # A dd with a different solver order than the one the state was
+    # trained against must be rejected, not gathered through.
+    import pytest
+
+    from safer2_recommender_tpu.data.dataset import DeviceData
+
+    ds, dd = tiny
+    m = get_model("ials", Config(dim=8), ds.num_users, ds.num_items)
+    m.initialize(dd)
+    m.train_epoch(dd)
+    dd2 = DeviceData.build(ds, min_bucket=4, growth=4)  # other bucketing
+    with pytest.raises(ValueError, match="does not match"):
+        m.export_state(dd2)
+
+
+def test_note_perms_remaps_state_on_rebucketed_dd(tiny):
+    # Same data rebuilt with different bucketing parameters => different
+    # solver order. Feeding it to a trained model must REMAP the tables
+    # (ADVICE r4 medium): original-id exports stay identical, and
+    # continued training matches training that used the new dd all along.
+    import logging
+
+    from safer2_recommender_tpu.data.dataset import DeviceData
+
+    ds, dd = tiny
+    cfg = Config(dim=8)
+    m = get_model("ials", cfg, ds.num_users, ds.num_items)
+    m.initialize(dd)
+    m.train_epoch(dd)
+    before = m.export_state()
+
+    dd2 = DeviceData.build(ds, min_bucket=4, growth=4)
+    m._note_perms(dd2)
+    after = m.export_state(dd2)
+    np.testing.assert_array_equal(before["user_emb"], after["user_emb"])
+    np.testing.assert_array_equal(before["item_emb"], after["item_emb"])
+
+    # continued training in the new order == a model that trained with
+    # the ORIGINAL dd throughout (the epoch math is order-independent)
+    m.train_epoch(dd2)
+    ref = get_model("ials", cfg, ds.num_users, ds.num_items)
+    ref.initialize(dd)
+    ref.train_epoch(dd)
+    ref.train_epoch(dd)
+    np.testing.assert_allclose(m.export_state()["user_emb"],
+                               ref.export_state()["user_emb"],
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_note_perms_rejects_different_id_universe(tiny):
+    import pytest
+
+    from safer2_recommender_tpu.data.dataset import Dataset, DeviceData
+
+    ds, dd = tiny
+    m = get_model("ials", Config(dim=8), ds.num_users, ds.num_items)
+    m.initialize(dd)
+    m.train_epoch(dd)
+    other = Dataset(ds.user_ids[:100], ds.item_ids[:100])
+    dd_other = DeviceData.build(other, num_users=ds.num_users,
+                                num_items=ds.num_items)
+    with pytest.raises(ValueError, match="id universe"):
+        m._note_perms(dd_other)
+
+
+_RESTORE_SCRIPT = r"""
+import sys
+
+# PYTHONPATH breaks the axon jax plugin on some hosts; path-insert instead
+sys.path.insert(0, sys.argv[7])
+import numpy as np
+
+ckpt_dir, tr_csv, te_csv, out_path, num_users, num_items = sys.argv[1:7]
+num_users, num_items = int(num_users), int(num_items)
+
+from safer2_recommender_tpu import Config, Dataset, FoldInData, get_model
+from safer2_recommender_tpu.checkpoint import CheckpointManager
+
+# NO DeviceData is ever built in this process: the checkpoint alone must
+# carry everything needed for id-correct evaluation, serving and export.
+model = get_model("safer2", Config(dim=8, bandwidth=0.3), num_users,
+                  num_items)
+state, epoch, meta = CheckpointManager(ckpt_dir).restore_with_meta(
+    model.state)
+assert state is not None and meta is not None
+model.state = state
+model.load_checkpoint_meta(meta)
+
+tr, te = Dataset.from_csv(tr_csv), Dataset.from_csv(te_csv)
+fold = FoldInData.build(tr, te, num_items=num_items)
+res = model.evaluate_dataset(fold)
+users, recs = model.recommend(tr, k=5)
+exp = model.export_state()
+np.savez(out_path, ndcg=res.ndcg, recall=res.recall, users=users,
+         recs=recs, user_emb=exp["user_emb"], item_emb=exp["item_emb"],
+         epoch=epoch)
+"""
+
+
+def test_self_contained_restore_subprocess_bit_identical(tmp_path, tiny,
+                                                         caplog):
+    # Train -> save -> restore in a FRESH PROCESS that never builds a
+    # DeviceData -> evaluate/serve/export must be bit-identical to the
+    # training process, with no warnings (VERDICT r4 next-round #1).
+    import logging
+    import os
+    import subprocess
+    import sys
+
+    from safer2_recommender_tpu.data.dataset import Dataset, FoldInData
+
+    ds, dd = tiny
+    cfg = Config(dim=8, bandwidth=0.3)
+    m = get_model("safer2", cfg, ds.num_users, ds.num_items)
+    m.initialize(dd)
+    m.train_epoch(dd)
+    m.train_epoch(dd)
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(m.state, epoch=2, meta=m.checkpoint_meta())
+
+    # held-out fold in ORIGINAL id space from csv files
+    n = ds.nnz // 2
+    tr_csv, te_csv = str(tmp_path / "tr.csv"), str(tmp_path / "te.csv")
+    for path, lo, hi in ((tr_csv, 0, n), (te_csv, n, ds.nnz)):
+        with open(path, "w") as f:
+            f.write("uid,sid\n")
+            f.writelines(f"{u},{i}\n" for u, i in zip(
+                ds.user_ids[lo:hi].tolist(), ds.item_ids[lo:hi].tolist()))
+
+    tr, te = Dataset.from_csv(tr_csv), Dataset.from_csv(te_csv)
+    fold = FoldInData.build(tr, te, num_items=ds.num_items)
+    want = m.evaluate_dataset(fold)
+    want_users, want_recs = m.recommend(tr, k=5)
+    want_exp = m.export_state()
+
+    script = str(tmp_path / "restore_eval.py")
+    with open(script, "w") as f:
+        f.write(_RESTORE_SCRIPT)
+    out_path = str(tmp_path / "out.npz")
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, script, ckpt_dir, tr_csv, te_csv, out_path,
+         str(ds.num_users), str(ds.num_items),
+         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert proc.returncode == 0, proc.stderr
+    # no id-space warnings in the fresh process
+    assert "no recorded id permutation" not in proc.stderr
+    assert "id sidecar" not in proc.stderr
+
+    got = np.load(out_path)
+    assert int(got["epoch"]) == 2
+    np.testing.assert_array_equal(got["ndcg"], want.ndcg)
+    np.testing.assert_array_equal(got["recall"], want.recall)
+    np.testing.assert_array_equal(got["users"], want_users)
+    np.testing.assert_array_equal(got["recs"], want_recs)
+    np.testing.assert_array_equal(got["user_emb"], want_exp["user_emb"])
+    np.testing.assert_array_equal(got["item_emb"], want_exp["item_emb"])
+
+
 def test_checkpoint_roundtrip(tmp_path, tiny):
     ds, dd = tiny
     cfg = Config(dim=8, bandwidth=0.3)
