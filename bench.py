@@ -117,7 +117,7 @@ def bench_northstar(on_cpu: bool):
                  stepsize=0.1)
     n_users = None
     out = {}
-    serve_rate = None
+    serve_rate, serve_fixed = None, {}
     for name in (("safer2",) if on_cpu else
                  ("safer2", "safer2pp", "ialspp", "ials", "erm_mf",
                   "cvar_mf")):
@@ -131,19 +131,18 @@ def bench_northstar(on_cpu: bool):
             n_users = int((dd.user_hist_size > 0).sum())
         if name == "safer2" and not on_cpu:
             serve_rate = bench_serving(model, ds)
+            serve_fixed = bench_serving_fixed(model, ds)
         del model
-    return out, n_users, dim, serve_rate
+    return out, n_users, dim, serve_rate, serve_fixed
 
 
-def bench_serving(model, ds, batch: int = 4096) -> float:
-    """End-to-end recommend() users/s for a batch of new users against
-    the north-star catalog (fold-in + scoring + exact top-k + id
-    decode + host transfer) — the serving surface BASELINE.md records."""
+def _serve_batch(ds, batch: int, seed: int):
+    """One request batch of brand-new users with power-law histories."""
     import numpy as np
 
     from safer2_recommender_tpu import Dataset
 
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)
     hl = np.clip(rng.lognormal(np.log(20), 0.8, batch), 3,
                  500).astype(np.int64)
     pop = 1.0 / (np.arange(1, ds.num_items + 1) ** 0.8)
@@ -151,7 +150,14 @@ def bench_serving(model, ds, batch: int = 4096) -> float:
     su = np.repeat(np.arange(batch, dtype=np.int32), hl)
     si = rng.choice(ds.num_items, size=int(hl.sum()),
                     p=pop).astype(np.int32)
-    serve = Dataset(su, si)
+    return Dataset(su, si)
+
+
+def bench_serving(model, ds, batch: int = 4096) -> float:
+    """End-to-end recommend() users/s for a batch of new users against
+    the north-star catalog (fold-in + scoring + exact top-k + id
+    decode + host transfer) — the serving surface BASELINE.md records."""
+    serve = _serve_batch(ds, batch, seed=7)
 
     def once():
         t0 = time.perf_counter()
@@ -162,22 +168,80 @@ def bench_serving(model, ds, batch: int = 4096) -> float:
     return batch / min(once() for _ in range(3))
 
 
+def bench_serving_fixed(model, ds) -> dict:
+    """The compile-once Server (serving.py) under PRODUCTION conditions:
+    steady-state throughput over VARYING request batches (different
+    sizes and history draws every call — the case the dynamic path
+    recompiles on), asserting zero recompiles after warmup, plus
+    small-batch p50 latency (VERDICT r4 next-round #2)."""
+    import numpy as np
+
+    from safer2_recommender_tpu.serving import Server
+
+    srv = Server(model, k=100, batch_sizes=(64, 1024, 4096),
+                 widths=(128, 512))
+    # warmup: touch every rung the measured traffic will use
+    for b in (48, 900, 4096, 2500):
+        srv.recommend(_serve_batch(ds, b, seed=100 + b))
+    warm_compiles = srv.num_compiles
+
+    sizes = [int(s) for s in
+             np.random.default_rng(11).integers(256, 4096, 16)]
+    batches = [_serve_batch(ds, b, seed=200 + i)
+               for i, b in enumerate(sizes)]
+    t0 = time.perf_counter()
+    served = sum(u.size for u, _ in srv.recommend_stream(batches))
+    varying_rate = served / (time.perf_counter() - t0)
+    assert srv.num_compiles == warm_compiles, (
+        f"serving recompiled: {warm_compiles} -> {srv.num_compiles}")
+
+    small = [_serve_batch(ds, 64, seed=400 + i) for i in range(8)]
+    lat = []
+    for _ in range(6):
+        for b in small:
+            t0 = time.perf_counter()
+            srv.recommend(b)
+            lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1000)
+    return {"serving_varying_users_per_s_chip": round(varying_rate, 1),
+            "serving_p50_ms_batch64": round(p50_ms, 2),
+            "serving_compiled_programs": srv.num_compiles}
+
+
 def bench_ml1m(on_cpu: bool):
-    """SAFER2, bundled ML-1M split, README dim=32 config (round-1 metric)."""
-    from safer2_recommender_tpu import Config, Dataset, DeviceData, get_model
+    """SAFER2, bundled ML-1M split, README dim=32 config (round-1 metric)
+    plus a mechanically-checked QUALITY number: fixed-seed 10-epoch
+    NDCG@20 on the bundled validation fold (VERDICT r4 next-round #5 —
+    quality drift shows up in the regressions field, not just in manual
+    head-to-heads)."""
+    from safer2_recommender_tpu import (Config, Dataset, DeviceData,
+                                        FoldInData, get_model)
 
     train = Dataset.from_csv(os.path.join(ML1M_DIR, "train.csv"))
     dd = DeviceData.build(train, dim=32)
     cfg = Config(dim=32, uobs_weight=0.004, l2_reg=0.004, alpha=0.3,
                  bandwidth=0.15, xi_iterations=5, pd_iterations=1,
-                 stdev=0.1)
+                 stdev=0.1, seed=0)
     model = get_model("safer2", cfg, train.num_users, train.num_items)
     model.initialize(dd)
     model.train_epochs(dd, 1)
     epoch_s = time_epochs(model, dd, bench_epochs=3 if on_cpu else 5,
                           reps=2)
     n_users = int((dd.user_hist_size > 0).sum())
-    return epoch_s, n_users / epoch_s
+
+    ndcg20 = None
+    vtr = os.path.join(ML1M_DIR, "validation_tr.csv")
+    if os.path.exists(vtr) or os.path.exists(vtr + ".gz"):
+        fold = FoldInData.build(Dataset.from_csv(vtr),
+                                Dataset.from_csv(os.path.join(
+                                    ML1M_DIR, "validation_te.csv")),
+                                num_items=train.num_items)
+        m2 = get_model("safer2", cfg, train.num_users, train.num_items)
+        m2.initialize(dd)
+        m2.train_epochs(dd, 10)
+        res = m2.evaluate_dataset(fold, k_list=(20,))
+        ndcg20 = float(res.ndcg.mean(0)[0])
+    return epoch_s, n_users / epoch_s, ndcg20
 
 
 def main() -> int:
@@ -190,16 +254,44 @@ def main() -> int:
     enable_compilation_cache()
     on_cpu = jax.default_backend() == "cpu"
 
-    ns_times, ns_users, ns_dim, serve_rate = bench_northstar(on_cpu)
+    ns_times, ns_users, ns_dim, serve_rate, serve_fixed = (
+        bench_northstar(on_cpu))
     ns_epoch_s = ns_times["safer2"]
     ns_rate = ns_users / ns_epoch_s
-    ml_epoch_s, ml_rate = bench_ml1m(on_cpu)
+    ml_epoch_s, ml_rate, ml_ndcg20 = bench_ml1m(on_cpu)
 
     cpp_1core_s = read_baseline("measured_cpp_synth50k_dim512_epoch_s")
     vs_ideal_64core = (cpp_1core_s / 64.0) / ns_epoch_s if (
         cpp_1core_s and ns_dim == NS_DIM) else 0.0
     ml_base_ms = read_baseline("measured_cpp_ml1m_safer2_epoch_ms")
     ml_vs = (ml_base_ms / 1000.0) / ml_epoch_s if ml_base_ms else 0.0
+
+    # Regression gate (VERDICT r4 next-round #5): every tracked metric
+    # vs its recorded_* value in BASELINE.md. >15% slower (or >0.008
+    # NDCG drop) is NAMED in the artifact instead of drifting silently.
+    regressions = []
+    if not on_cpu:
+        for name, took in ns_times.items():
+            rec = read_baseline(f"recorded_{name}_dim512_epoch_ms")
+            if rec and took * 1000 > 1.15 * rec:
+                regressions.append(
+                    f"{name}_dim512_epoch_ms {took * 1000:.1f} vs "
+                    f"recorded {rec}")
+        rec = read_baseline("recorded_ml1m_dim32_epoch_ms")
+        if rec and ml_epoch_s * 1000 > 1.15 * rec:
+            regressions.append(
+                f"ml1m_dim32_epoch_ms {ml_epoch_s * 1000:.1f} vs "
+                f"recorded {rec}")
+        rec = read_baseline("recorded_serving_users_per_s_chip")
+        if rec and serve_rate and serve_rate < rec / 1.15:
+            regressions.append(
+                f"serving_users_per_s_chip {serve_rate:.0f} vs "
+                f"recorded {rec}")
+        rec = read_baseline("recorded_ml1m_safer2_dim32_ndcg20_10ep")
+        if rec and ml_ndcg20 is not None and ml_ndcg20 < rec - 0.008:
+            regressions.append(
+                f"ml1m_safer2_dim32_ndcg20_10ep {ml_ndcg20:.4f} vs "
+                f"recorded {rec}")
 
     print(json.dumps({
         "metric": "safer2_dim512_msd50k_users_per_s_per_chip",
@@ -217,7 +309,15 @@ def main() -> int:
                         "cvar_mf")},
         "serving_users_per_s_chip": (round(serve_rate, 1)
                                      if serve_rate else None),
+        # compile-once Server: varying-batch steady state + p50 latency
+        **serve_fixed,
         "ml1m_dim32_users_per_s_chip": round(ml_rate, 1),
+        "ml1m_safer2_dim32_ndcg20_10ep": (round(ml_ndcg20, 4)
+                                          if ml_ndcg20 is not None
+                                          else None),
+        # named regressions vs BASELINE.md recorded_* values (empty =
+        # every tracked metric within 15% / quality within 0.008)
+        "regressions": regressions,
         "ml1m_dim32_vs_cpp_1core": round(ml_vs, 2),
         "ml1m_dim32_epoch_ms": round(ml_epoch_s * 1000, 1),
         # honest labeling: a "cpu" backend means the TPU tunnel was down

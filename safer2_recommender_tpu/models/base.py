@@ -328,12 +328,16 @@ class Recommender:
             dual_weight=put(to_host(s.dual_weight)[gu]),
         )
 
-    def _permute_fold(self, fold: FoldInData) -> FoldInData:
+    def _permute_fold(self, fold: FoldInData,
+                      cache: bool = True) -> FoldInData:
         """Remap a FoldInData's item ids (fold-in histories, exclusion
         lists, ground truth) into the model's solver-order item space.
         Identity when the model never saw a renumbered DeviceData. The
         result is cached per fold object — evaluation runs every epoch
-        under --print_evaluation_stats."""
+        under --print_evaluation_stats. ``cache=False`` for transient
+        folds (recommend() builds one per request batch; pinning those
+        would hold whole folds' device arrays in HBM long after the
+        batch is answered)."""
         perm = getattr(self, "_item_perm", None)
         if perm is None:
             if int(np.asarray(self.state.steps)) > 0 and not getattr(
@@ -352,12 +356,14 @@ class Recommender:
                     "the DeviceData first so ids can be remapped "
                     "(docs/API.md 'Id spaces')")
             return fold
-        cache = getattr(self, "_fold_perm_cache", None)
-        if cache is None:
-            cache = self._fold_perm_cache = {}
-        hit = cache.get(id(fold))
-        if hit is not None and hit[0] is fold:
-            return hit[1]
+        store = None
+        if cache:
+            store = getattr(self, "_fold_perm_cache", None)
+            if store is None:
+                store = self._fold_perm_cache = {}
+            hit = store.get(id(fold))
+            if hit is not None and hit[0] is fold:
+                return hit[1]
         ni = self.num_items
 
         def ids(a):
@@ -378,12 +384,13 @@ class Recommender:
             gt=ids(fold.gt),
         )
         # bounded multi-entry cache: the CLI alternates validation and
-        # test folds, and recommend() adds its own — a single slot would
-        # thrash and redo the eager remap every evaluation. Entries pin
-        # the fold object, so id() keys stay unique while cached.
-        if len(cache) >= 4:
-            cache.pop(next(iter(cache)))
-        cache[id(fold)] = (fold, out)
+        # test folds — a single slot would thrash and redo the eager
+        # remap every evaluation. Entries pin the fold object, so id()
+        # keys stay unique while cached.
+        if store is not None:
+            if len(store) >= 4:
+                store.pop(next(iter(store)))
+            store[id(fold)] = (fold, out)
         return out
 
     def train_epochs(self, dd: DeviceData, n: int) -> None:
@@ -548,7 +555,9 @@ class Recommender:
         else:
             fold = histories
             users = np.arange(fold.n_eval)
-        fold = self._permute_fold(fold)
+        # cache=False: request folds are transient — pinning them would
+        # hold ~4 batches' device arrays in HBM for the model's lifetime
+        fold = self._permute_fold(fold, cache=False)
         ue = self._fold_in_jit(self.state, fold)
         if self._rec_jit is None:
             self._rec_jit = jax.jit(self._recommend_ids,

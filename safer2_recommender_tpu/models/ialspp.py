@@ -30,8 +30,24 @@ import jax.numpy as jnp
 
 from safer2_recommender_tpu.data.dataset import DeviceData, FoldInData
 from safer2_recommender_tpu.models import common
-from safer2_recommender_tpu.models.base import MFState, Recommender
+from safer2_recommender_tpu.models.base import MFState, Recommender, _log
 from safer2_recommender_tpu.ops import woodbury
+
+
+def _warn_interleaved_fallback(model) -> None:
+    """One-time runtime notice when --block_interleaved cannot engage
+    (dim % block_size != 0): the user asked for the reference-order
+    fidelity trajectory but is getting the fast frozen sweep."""
+    if model.cfg.block_interleaved and (
+            model.cfg.dim % model.cfg.block_size) and not getattr(
+            model, "_interleaved_fallback_warned", False):
+        model._interleaved_fallback_warned = True
+        _log.warning(
+            "block_interleaved requested but dim %d is not a multiple of "
+            "block_size %d — falling back to the frozen (fast) sweep; "
+            "the reference-order fidelity trajectory needs "
+            "dim %% block_size == 0",
+            model.cfg.dim, model.cfg.block_size)
 
 
 class IALSpp(Recommender):
@@ -68,6 +84,7 @@ class IALSpp(Recommender):
 
     def _epoch(self, state: MFState, dd: DeviceData) -> MFState:
         cfg = self.cfg
+        _warn_interleaved_fallback(self)   # runs at trace time, once
         if cfg.block_interleaved and cfg.dim % cfg.block_size == 0:
             # Reference-order mode (ialspp.h:208-261): per block,
             # Step(user) then Step(item); loss from the carried

@@ -95,6 +95,9 @@ class SAFER2pp(SaferFamilyMixin, Recommender):
         gram = state.item_gramian
         xi, key = state.xi, state.key
         eq_u, eq_v = state.eig_qu, state.eig_qv
+        from safer2_recommender_tpu.models.ialspp import (
+            _warn_interleaved_fallback)
+        _warn_interleaved_fallback(self)   # runs at trace time, once
 
         def xi_step(loss, warm, key):
             key, sub = jax.random.split(key)

@@ -42,6 +42,47 @@ requires_ml1m = pytest.mark.skipif(
     not ml1m_available(), reason="ML-1M fixture not available")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Randomized test order (the reference CI injects GTEST_SHUFFLE /
+    GTEST_RANDOM_SEED, reference .bazelrc:18-21, so inter-test state
+    dependence surfaces). ``FRT_TEST_SHUFFLE=<seed>`` shuffles the
+    module order and the order within each module — module grouping is
+    kept so expensive module/session fixtures (ml1m trains a model) are
+    not rebuilt per test. The seed is printed for reproduction."""
+    import random
+
+    seed_env = os.environ.get("FRT_TEST_SHUFFLE", "")
+    if not seed_env:
+        return
+    seed = int(seed_env)
+    print(f"\n[conftest] shuffled test order, FRT_TEST_SHUFFLE={seed}")
+    rng = random.Random(seed)
+    groups, order = {}, []
+    for it in items:
+        key = it.module.__name__
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append(it)
+    rng.shuffle(order)
+    for key in order:
+        rng.shuffle(groups[key])
+    items[:] = [it for key in order for it in groups[key]]
+
+
+@pytest.fixture(autouse=True)
+def _package_logger_propagates():
+    """In-process CLI runs call utils.logging.setup(), which sets
+    propagate=False on the package logger (so embedding apps don't get
+    every line twice); that silently blinds pytest's caplog (a root-
+    logger handler) for every test that runs AFTER a CLI test. Re-enable
+    propagation per test so log assertions are order-independent."""
+    import logging
+
+    logging.getLogger("safer2_recommender_tpu").propagate = True
+    yield
+
+
 @pytest.fixture(scope="session")
 def ml1m():
     """(train Dataset, DeviceData, FoldInData) for the bundled split."""

@@ -56,30 +56,8 @@ def test_generate_splits(tmp_path, raw):
     assert (te_per_user[big] == expect[big]).all()
 
 
-@pytest.mark.slow
-def test_crosscheck_vs_reference_pipeline(tmp_path):
-    """Run the REFERENCE's scripts/generate_data.py (imported from
-    /root/reference, pandas path) and our vectorized pipeline on the
-    same synthetic ratings file and compare the outputs (VERDICT r3
-    missing item 1).
-
-    Both permute the sorted unique users with the legacy
-    RandomState(98765) stream (reference generate_data.py:118-120 /
-    data/generate.py:138-140), so the heldout populations, the train
-    split, and both id maps must match EXACTLY; only the per-user
-    80/20 te membership differs (different RNG streams, reference
-    :63-89), with identical per-user te sizes."""
-    import importlib.util
-    import pandas as pd
-
-    ref_path = "/root/reference/scripts/generate_data.py"
-    if not os.path.exists(ref_path):
-        pytest.skip("reference tree unavailable")
-    spec_mod = importlib.util.spec_from_file_location("ref_gen", ref_path)
-    ref_gen = importlib.util.module_from_spec(spec_mod)
-    spec_mod.loader.exec_module(ref_gen)
-
-    # synthetic ml-1m-format raw data: 2.6k users, power-law items
+def _synth_raw(tmp_path):
+    """Synthetic ml-1m-format raw data: 2.6k users, power-law items."""
     rng = np.random.default_rng(3)
     n = 120_000
     users = rng.integers(1, 2600, n)
@@ -89,6 +67,31 @@ def test_crosscheck_vs_reference_pipeline(tmp_path):
     with open(raw_path, "w") as f:
         for u, i, r in zip(users, items, ratings):
             f.write(f"{u}::{i}::{r}::{978300760}\n")
+    return raw_path, users, items, ratings
+
+
+_REF_FILES = ("unique_sid.txt", "train.csv", "validation_tr.csv",
+              "validation_te.csv", "test_tr.csv", "test_te.csv")
+
+
+@pytest.mark.slow
+def test_crosscheck_vs_reference_pipeline(tmp_path):
+    """Run the reference's data-prep protocol (the vendored frozen
+    fixture, tests/ref_split_fixture.py — environment-independent, so
+    this check runs in any CI, VERDICT r4 next #7) and our vectorized
+    pipeline on the same synthetic ratings file and compare.
+
+    Both permute the sorted unique users with the legacy
+    RandomState(98765) stream (reference generate_data.py:118-120 /
+    data/generate.py:138-140), so the heldout populations, the train
+    split, and both id maps must match EXACTLY; only the per-user
+    80/20 te membership differs (different RNG streams, reference
+    :63-89), with identical per-user te sizes."""
+    import pandas as pd
+
+    from ref_split_fixture import generate_reference_splits
+
+    raw_path, users, items, ratings = _synth_raw(tmp_path)
 
     # ours: through the real CLI surface (load_raw + generate_splits)
     ours_dir = tmp_path / "ours"
@@ -97,14 +100,12 @@ def test_crosscheck_vs_reference_pipeline(tmp_path):
                                 binarize=True)
     generate.generate_splits(u_keys, i_keys, str(ours_dir), spec)
 
-    # reference: its generate_data on the binarized frame (its main's
-    # ml-1m path, generate_data.py:185-189, minus the download)
+    # reference protocol on the binarized tuples (its main's ml-1m
+    # path, generate_data.py:185-189, minus the download)
     ref_dir = tmp_path / "ref"
-    df = pd.DataFrame({"userId": users, "movieId": items,
-                       "rating": ratings, "ts": 978300760})
-    df = df[df["rating"] > 3.5]
-    ref_gen.generate_data(df, str(ref_dir), n_heldout_users=400,
-                          min_uc=5, min_sc=0)
+    keep = ratings > 3.5
+    generate_reference_splits(users[keep], items[keep], str(ref_dir),
+                              n_heldout_users=400, min_uc=5, min_sc=0)
 
     # identical catalogs and train splits (exact, as multisets)
     ours_sid = open(ours_dir / "unique_sid.txt").read().splitlines()
@@ -132,6 +133,46 @@ def test_crosscheck_vs_reference_pipeline(tmp_path):
         o_te = load(ours_dir, f"{name}_te.csv").groupby("uid").size()
         r_te = load(ref_dir, f"{name}_te.csv").groupby("uid").size()
         pd.testing.assert_series_equal(o_te, r_te)
+
+
+@pytest.mark.slow
+def test_vendored_fixture_matches_real_reference(tmp_path):
+    """Pin the vendored protocol fixture to the REAL reference script
+    wherever the reference tree exists: every output file byte-equal
+    (the fixture replays the exact legacy-RandomState call sequence, so
+    even the 80/20 te membership matches)."""
+    import importlib.util
+
+    import pandas as pd
+
+    from ref_split_fixture import generate_reference_splits
+
+    ref_path = "/root/reference/scripts/generate_data.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference tree unavailable (fixture already "
+                    "cross-checked against ours unconditionally)")
+    spec_mod = importlib.util.spec_from_file_location("ref_gen", ref_path)
+    ref_gen = importlib.util.module_from_spec(spec_mod)
+    spec_mod.loader.exec_module(ref_gen)
+
+    _, users, items, ratings = _synth_raw(tmp_path)
+    keep = ratings > 3.5
+
+    fix_dir = tmp_path / "fix"
+    generate_reference_splits(users[keep], items[keep], str(fix_dir),
+                              n_heldout_users=400, min_uc=5, min_sc=0)
+
+    real_dir = tmp_path / "real"
+    df = pd.DataFrame({"userId": users, "movieId": items,
+                       "rating": ratings, "ts": 978300760})
+    df = df[df["rating"] > 3.5]
+    ref_gen.generate_data(df, str(real_dir), n_heldout_users=400,
+                          min_uc=5, min_sc=0)
+
+    for name in _REF_FILES:
+        fix = open(fix_dir / name).read()
+        real = open(real_dir / name).read()
+        assert fix == real, f"{name} differs from the real reference"
 
 
 def test_min_count_filters(raw):

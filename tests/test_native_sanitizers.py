@@ -98,3 +98,17 @@ def test_csv_reader_tsan(tmp_path):
 
 def test_csv_reader_asan_ubsan(tmp_path):
     _run_sanitized(tmp_path, ["-fsanitize=address,undefined"], "asan")
+
+
+def test_csv_reader_ubsan_full_strict(tmp_path):
+    # The reference's sanitizer matrix goes beyond default asan/tsan
+    # (reference .bazelrc:23-96, msan/xsan configs). msan needs clang
+    # (absent here); the equivalent breadth g++ offers is UBSan with
+    # every non-default check enabled and recovery disabled — any
+    # float-cast overflow, strict-bounds overrun, or div-by-zero in the
+    # parser aborts instead of printing-and-continuing.
+    _run_sanitized(
+        tmp_path,
+        ["-fsanitize=undefined,float-divide-by-zero,float-cast-overflow,"
+         "bounds-strict", "-fno-sanitize-recover=all"],
+        "ubsan")
