@@ -225,7 +225,12 @@ def bench_ml1m(on_cpu: bool):
     model = get_model("safer2", cfg, train.num_users, train.num_items)
     model.initialize(dd)
     model.train_epochs(dd, 1)
-    epoch_s = time_epochs(model, dd, bench_epochs=3 if on_cpu else 5,
+    # 20-epoch chains: at dim 32 the epoch is ~3.6 ms against a ~27 ms
+    # dispatch floor, and 5-epoch differencing wandered 3.56-4.12 ms rep
+    # to rep (the r3->r4 "3.6 -> 3.9 ms drift" was THIS measurement
+    # noise, not a regression — probed 2026-08-21, BASELINE.md); the
+    # longer chain pins it at 3.60 +- 0.05.
+    epoch_s = time_epochs(model, dd, bench_epochs=3 if on_cpu else 20,
                           reps=2)
     n_users = int((dd.user_hist_size > 0).sum())
 

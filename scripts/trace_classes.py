@@ -43,6 +43,7 @@ rows = [r["c"] for r in tbl["rows"]
         if r["c"][gi["Host/device"]].get("v") == "Device"]
 
 agg = {name: [0.0, 0.0, 0.0, 0] for name, _ in CLASSES}
+catchall = {}
 for r in rows:
     name = r[gi["Operation Name"]]["v"]
     t_us = r[gi["Total self-time (us)"]]["v"]
@@ -55,6 +56,10 @@ for r in rows:
             a[1] += t_us * bw / 1e3          # -> bytes MB-ish: us*GB/s = KB... us*1e-6 s * GB/s = 1e-6 GB = KB
             a[2] += t_us * fl / 1e3          # us * GFLOP/s = kFLOP... consistent relative units
             a[3] += 1
+            if pat == "":
+                c = catchall.setdefault(name, [0.0, 0])
+                c[0] += t_us
+                c[1] += 1
             break
 
 tot = sum(a[0] for a in agg.values())
@@ -71,3 +76,11 @@ for cname, _ in CLASSES:
     print(f"{cname:26s} {ms:7.2f} {100 * t_us / tot:5.1f} {gb:7.2f} "
           f"{gb / (ms / 1e3):8.1f} {gflop:9.2f} "
           f"{gflop / ms:8.2f}")
+
+# the catch-all class must stay explained (VERDICT r4 weak #4): name
+# its constituents so any growth is attributable op by op
+if catchall:
+    print("\ncatch-all ('elementwise+rest') constituents, top 25:")
+    for name, (t_us, cnt) in sorted(catchall.items(),
+                                    key=lambda kv: -kv[1][0])[:25]:
+        print(f"  {t_us / n / 1e3:7.3f} ms/ep x{cnt:5d}  {name[:90]}")
