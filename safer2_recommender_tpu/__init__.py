@@ -29,6 +29,7 @@ Public entry points:
 from safer2_recommender_tpu.config import Config
 from safer2_recommender_tpu.data.dataset import Dataset, DeviceData, FoldInData
 from safer2_recommender_tpu.evaluation.metrics import EvaluationResult
+from safer2_recommender_tpu.serving import Server
 from safer2_recommender_tpu.models import (
     CVaRMF,
     ERMMF,
@@ -53,6 +54,7 @@ __all__ = [
     "CVaRMF",
     "SAFER2",
     "SAFER2pp",
+    "Server",
     "get_model",
     "__version__",
 ]
