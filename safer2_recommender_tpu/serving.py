@@ -161,6 +161,12 @@ class Server:
     def _pack(self, users: np.ndarray, items: np.ndarray):
         """Split a request into rung-shaped sub-batches; yields
         (distinct user ids, FoldInData) per sub-batch."""
+        if items.size:
+            lo, hi = int(items.min()), int(items.max())
+            if lo < 0 or hi >= self.model.num_items:
+                raise ValueError(
+                    f"request item ids must be in [0, "
+                    f"{self.model.num_items}); got range [{lo}, {hi}]")
         uniq, inv = np.unique(users, return_inverse=True)
         counts = np.bincount(inv, minlength=uniq.size)
         order = np.argsort(inv, kind="stable")
@@ -227,6 +233,9 @@ class Server:
         return out
 
     def _fetch(self, dispatched) -> Tuple[np.ndarray, np.ndarray]:
+        if not dispatched:   # empty request batch -> empty result
+            return (np.zeros(0, np.int32),
+                    np.zeros((0, self.k), np.int32))
         us, ids = [], []
         for users, dev in dispatched:
             arr = np.asarray(jax.device_get(dev))[: users.size]

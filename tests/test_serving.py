@@ -114,6 +114,27 @@ def test_server_stream_matches_loop(trained):
         np.testing.assert_array_equal(ids, ids2)
 
 
+def test_server_empty_request(trained):
+    ds, dd, m = trained
+    srv = Server(m, k=5)
+    u, ids = srv.recommend(Dataset(np.zeros(0, np.int32),
+                                   np.zeros(0, np.int32)))
+    assert u.shape == (0,) and ids.shape == (0, 5)
+    assert srv.num_compiles == 0       # nothing dispatched
+
+
+def test_server_rejects_out_of_catalog_items(trained):
+    ds, dd, m = trained
+    srv = Server(m, k=5)
+    bad = np.array([0, ds.num_items], np.int32)   # one past the catalog
+    with pytest.raises(ValueError, match="item ids"):
+        srv.recommend(Dataset(np.zeros(2, np.int32), bad))
+    # negative ids via the raw-arrays form (Dataset itself rejects
+    # negatives at construction)
+    with pytest.raises(ValueError, match="item ids"):
+        srv.recommend((np.zeros(1, np.int32), np.array([-1], np.int32)))
+
+
 def test_server_after_self_contained_restore(trained, tmp_path):
     # Serving must be id-correct from a checkpoint alone (no DeviceData
     # in the restoring process) — same programs => bit-identical ids.
